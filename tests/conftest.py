@@ -1,0 +1,22 @@
+import os
+import sys
+
+# Unit tests run on a virtual 8-device CPU mesh so multi-chip sharding
+# logic is exercised without TPU hardware.  Must be set before jax imports.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def data_dir():
+    from pathlib import Path
+
+    return Path("/root/reference/tests/data")

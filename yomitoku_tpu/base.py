@@ -1,0 +1,142 @@
+"""Base runtime: module base class, model catalog, timing observer.
+
+Reference parity: yomitoku/base.py.  Differences by design:
+  * models are functional JAX (flax) modules — ``load_model`` builds the
+    module + a parameter pytree instead of a torch ``nn.Module``;
+  * device selection targets JAX platforms (``tpu``/``cpu``) with graceful
+    fallback instead of cuda/mps;
+  * weights load from a local checkpoint store (orbax/msgpack or a converted
+    torch state_dict) — see yomitoku_tpu/weights.py.
+"""
+
+import time
+
+from pydantic import BaseModel, ConfigDict
+
+from .config import Config, load_config, save_config
+from .utils.logger import set_logger
+
+logger = set_logger(__name__, "INFO")
+
+
+def observer(cls, func):
+    """Wrap a callable with wall-clock INFO timing (reference base.py:36)."""
+
+    def wrapper(*args, **kwargs):
+        try:
+            start = time.time()
+            result = func(*args, **kwargs)
+            elapsed = time.time() - start
+            logger.info(f"{cls.__name__} {func.__name__} elapsed_time: {elapsed}")
+        except Exception as e:
+            logger.error(f"Error occurred in {cls.__name__} {func.__name__}: {e}")
+            raise e
+        return result
+
+    return wrapper
+
+
+class BaseSchema(BaseModel):
+    model_config = ConfigDict(extra="forbid", validate_assignment=True)
+
+    def to_json(self, out_path: str, **kwargs):
+        from .export import export_json
+
+        return export_json(self, out_path, **kwargs)
+
+
+class BaseModelCatalog:
+    """Registry mapping model-variant name -> (default config, model class)."""
+
+    def __init__(self):
+        self.catalog = {}
+
+    def get(self, model_name: str):
+        model_name = model_name.lower()
+        if model_name in self.catalog:
+            return self.catalog[model_name]
+        raise ValueError(f"Unknown model: {model_name}")
+
+    def register(self, model_name: str, config, model):
+        if model_name in self.catalog:
+            raise ValueError(f"{model_name} is already registered.")
+        self.catalog[model_name] = (config, model)
+
+    def list_model(self):
+        return list(self.catalog.keys())
+
+
+def resolve_device(device: str) -> str:
+    """Map a requested device string to an available JAX platform.
+
+    Accepts "tpu", "cpu", and — for API compatibility with the reference —
+    "cuda"/"mps" (treated as a request for the accelerator, i.e. TPU).
+    Falls back to CPU with a warning when no TPU is present.
+    """
+    import jax
+
+    want_accel = any(k in device.lower() for k in ("tpu", "cuda", "gpu", "mps"))
+    platforms = {d.platform for d in jax.devices()}
+    if want_accel:
+        for p in platforms:
+            if p != "cpu":
+                return p
+        logger.warning("No accelerator available. Using CPU instead.")
+        return "cpu"
+    return "cpu"
+
+
+class BaseModule:
+    """Common base for task modules (detector/recognizer/layout/...).
+
+    Subclasses set ``model_catalog`` and call ``load_model`` in __init__.
+    ``__call__`` is wrapped in the timing observer, as in the reference.
+    """
+
+    model_catalog = None
+
+    def __init__(self):
+        if self.model_catalog is None:
+            raise NotImplementedError
+        if not issubclass(self.model_catalog.__class__, BaseModelCatalog):
+            raise ValueError(
+                f"{self.model_catalog.__class__} is not SubClass BaseModelCatalog."
+            )
+        if len(self.model_catalog.list_model()) == 0:
+            raise ValueError("No model is registered.")
+
+    def __new__(cls, *args, **kwds):
+        logger.info(f"Initialize {cls.__name__}")
+        cls.__call__ = observer(cls, cls.__call__)
+        return super().__new__(cls)
+
+    def load_model(self, name, path_cfg=None, from_pretrained=True):
+        default_cfg, Net = self.model_catalog.get(name)
+        self._cfg = load_config(default_cfg, path_cfg)
+        self.model = Net(cfg=self._cfg)
+        if from_pretrained:
+            from .weights import load_pretrained_params
+
+            self.model.params = load_pretrained_params(self.model, self._cfg)
+
+    def save_config(self, path_cfg):
+        save_config(self._cfg, path_cfg)
+
+    def log_config(self):
+        logger.info(self._cfg.to_yaml())
+
+    @classmethod
+    def catalog(cls):
+        display = ""
+        for model in cls.model_catalog.list_model():
+            display += f"{model} "
+        logger.info(f"{cls.__name__} Implemented Models")
+        logger.info(display)
+
+    @property
+    def device(self) -> str:
+        return self._device
+
+    @device.setter
+    def device(self, device: str):
+        self._device = resolve_device(device)
