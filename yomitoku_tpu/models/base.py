@@ -1,0 +1,58 @@
+"""Base class for JAX model wrappers.
+
+Each model owns a flax module, a parameter pytree, and one or more jitted
+device programs.  Compute dtype defaults to bfloat16 on TPU (MXU-native)
+and float32 on CPU; parameters are always stored float32.
+"""
+
+import os
+
+import jax
+import numpy as np
+
+from ..utils.logger import set_logger
+
+logger = set_logger(__name__, "INFO")
+
+
+def default_compute_dtype():
+    import jax.numpy as jnp
+
+    env = os.environ.get("YOMITOKU_TPU_DTYPE")
+    if env:
+        return {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16, "f32": jnp.float32,
+                "float32": jnp.float32}[env.lower()]
+    platform = jax.default_backend()
+    return jnp.bfloat16 if platform == "tpu" else jnp.float32
+
+
+class JaxModel:
+    """Holds a linen module + params; subclasses add jitted programs."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self._params = None
+
+    # -- parameters -----------------------------------------------------
+
+    def init_params(self, seed: int = 0):
+        """Build a parameter pytree (used as template and offline fallback)."""
+        raise NotImplementedError
+
+    @property
+    def params(self):
+        if self._params is None:
+            self._params = self.init_params(seed=0)
+        return self._params
+
+    @params.setter
+    def params(self, value):
+        self._params = value
+
+    def param_count(self) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.params))
+
+    # -- torch conversion ----------------------------------------------
+
+    def convert_torch_state_dict(self, sd: dict):
+        raise NotImplementedError

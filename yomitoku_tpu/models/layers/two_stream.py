@@ -1,0 +1,111 @@
+"""Two-stream (query/content) transformer decoder for PARSeq.
+
+Functional re-design of the reference decoder
+(yomitoku/models/layers/parseq_transformer.py:27-170): pre-LN layers where
+a position-query stream attends over a content stream (token embeddings)
+and encoder memory.  The content stream is only updated between layers
+(never after the last), so with the production depth=1 configs the content
+keys are the raw embeddings — which lets the jitted AR loop keep a single
+static content buffer.
+"""
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .attention import Mlp, MultiHeadAttention
+
+
+class TwoStreamDecoderLayer(nn.Module):
+    embed_dim: int
+    num_heads: int
+    mlp_ratio: float
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        D, H = self.embed_dim, self.num_heads
+        self.self_attn = MultiHeadAttention(D, H, dtype=self.dtype)
+        self.cross_attn = MultiHeadAttention(D, H, dtype=self.dtype)
+        self.mlp = Mlp(int(D * self.mlp_ratio), D, dtype=self.dtype)
+        ln = lambda: nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32
+        )
+        self.norm1 = ln()
+        self.norm2 = ln()
+        self.norm_q = ln()
+        self.norm_c = ln()
+
+    def _stream(self, tgt, tgt_norm, tgt_kv, memory, attn_mask, key_padding_mask):
+        h = self.self_attn(
+            tgt_norm, tgt_kv, tgt_kv, attn_mask=attn_mask,
+            key_padding_mask=key_padding_mask,
+        )
+        tgt = tgt + h
+        h = self.cross_attn(self.norm1(tgt), memory, memory)
+        tgt = tgt + h
+        return tgt + self.mlp(self.norm2(tgt))
+
+    def __call__(
+        self,
+        query,
+        content,
+        memory,
+        query_mask: Optional[jnp.ndarray] = None,
+        content_mask: Optional[jnp.ndarray] = None,
+        content_key_padding_mask: Optional[jnp.ndarray] = None,
+        update_content: bool = True,
+    ):
+        query_norm = self.norm_q(query)
+        content_norm = self.norm_c(content)
+        query = self._stream(
+            query, query_norm, content_norm, memory, query_mask,
+            content_key_padding_mask,
+        )
+        if update_content:
+            content = self._stream(
+                content, content_norm, content_norm, memory, content_mask,
+                content_key_padding_mask,
+            )
+        return query, content
+
+
+class TwoStreamDecoder(nn.Module):
+    embed_dim: int
+    num_heads: int
+    mlp_ratio: float
+    depth: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.layers = [
+            TwoStreamDecoderLayer(
+                self.embed_dim, self.num_heads, self.mlp_ratio, dtype=self.dtype
+            )
+            for _ in range(self.depth)
+        ]
+        self.norm = nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32
+        )
+
+    def __call__(
+        self,
+        query,
+        content,
+        memory,
+        query_mask=None,
+        content_mask=None,
+        content_key_padding_mask=None,
+    ):
+        for i, layer in enumerate(self.layers):
+            last = i == len(self.layers) - 1
+            query, content = layer(
+                query,
+                content,
+                memory,
+                query_mask,
+                content_mask,
+                content_key_padding_mask,
+                update_content=not last,
+            )
+        return self.norm(query)

@@ -1,0 +1,98 @@
+"""ViT encoder for PARSeq text recognition.
+
+Functional re-design of the reference encoder (a timm VisionTransformer,
+yomitoku/models/layers/parseq_transformer.py:172-207): patch-embed conv,
+learned position embedding, no class token, pre-LN blocks, final LayerNorm.
+NHWC input layout (TPU-native).
+"""
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .attention import Mlp, MultiHeadAttention
+
+
+class PatchEmbed(nn.Module):
+    embed_dim: int
+    patch_size: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        ph, pw = self.patch_size
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(ph, pw),
+            strides=(ph, pw),
+            padding="VALID",
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="proj",
+        )(x)
+        B, Hp, Wp, D = x.shape
+        return x.reshape(B, Hp * Wp, D)  # row-major (H-major) token order
+
+
+class EncoderBlock(nn.Module):
+    embed_dim: int
+    num_heads: int
+    mlp_ratio: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ln = lambda name: nn.LayerNorm(
+            epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
+        h = ln("norm1")(x)
+        h = MultiHeadAttention(
+            self.embed_dim, self.num_heads, dtype=self.dtype, name="attn"
+        )(h, h, h)
+        x = x + h
+        h = ln("norm2")(x)
+        h = Mlp(
+            int(self.embed_dim * self.mlp_ratio),
+            self.embed_dim,
+            dtype=self.dtype,
+            name="mlp",
+        )(h)
+        return x + h
+
+
+class ViTEncoder(nn.Module):
+    img_size: Sequence[int]
+    patch_size: Sequence[int]
+    embed_dim: int
+    depth: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, 3) -> (B, N, D)
+        x = PatchEmbed(
+            self.embed_dim, self.patch_size, dtype=self.dtype, name="patch_embed"
+        )(x)
+        n_patches = (self.img_size[0] // self.patch_size[0]) * (
+            self.img_size[1] // self.patch_size[1]
+        )
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, n_patches, self.embed_dim),
+            jnp.float32,
+        )
+        x = x + pos_embed.astype(self.dtype)
+        for i in range(self.depth):
+            x = EncoderBlock(
+                self.embed_dim,
+                self.num_heads,
+                self.mlp_ratio,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x)
+        return nn.LayerNorm(
+            epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name="norm"
+        )(x)

@@ -1,0 +1,185 @@
+"""TextRecognizer task module (PARSeq).
+
+Reference parity: yomitoku/text_recognizer.py — catalog of PARSeq
+variants, perspective-crop dataset, minibatched inference, NFKC-normalized
+decode, per-quad direction, and the low-score 180-degree orientation
+fallback.  TPU adaptations:
+
+  * batches are padded up to a small set of static bucket sizes so XLA
+    compiles a handful of programs instead of one per line count;
+  * the whole greedy decode runs on device inside one jitted program
+    (models/parseq.py), only the final softmax distributions return to the
+    host for tokenizer decode.
+"""
+
+import unicodedata
+
+import cv2
+import numpy as np
+
+from .base import BaseModelCatalog, BaseModule
+from .configs import (
+    TextRecognizerPARSeqConfig,
+    TextRecognizerPARSeqLargeV41Config,
+    TextRecognizerPARSeqSmallConfig,
+    TextRecognizerPARSeqTinyConfig,
+    TextRecognizerPARSeqV2Config,
+)
+from .data.dataset import ParseqDataset, normalize_crop
+from .data.functions import resize_with_padding
+from .models.parseq import PARSeq
+from .postprocessor.parseq_tokenizer import ParseqTokenizer as Tokenizer
+from .schemas import TextRecognizerSchema
+from .utils.misc import load_charset
+
+#: Batch-size buckets (padded) to bound the number of compiled programs.
+BATCH_BUCKETS = (1, 8, 32, 128)
+
+
+def bucket_batch_size(n: int, max_batch: int) -> int:
+    for b in BATCH_BUCKETS:
+        if n <= b and b <= max_batch:
+            return b
+    return max_batch
+
+
+class TextRecognizerModelCatalog(BaseModelCatalog):
+    def __init__(self):
+        super().__init__()
+        self.register("parseq", TextRecognizerPARSeqConfig, PARSeq)
+        self.register("parseqv2", TextRecognizerPARSeqV2Config, PARSeq)
+        self.register("parseq-small", TextRecognizerPARSeqSmallConfig, PARSeq)
+        self.register("parseq-tiny", TextRecognizerPARSeqTinyConfig, PARSeq)
+        self.register("parseq-large-v4_1", TextRecognizerPARSeqLargeV41Config, PARSeq)
+
+
+class TextRecognizer(BaseModule):
+    model_catalog = TextRecognizerModelCatalog()
+
+    def __init__(
+        self,
+        model_name="parseq-large-v4_1",
+        path_cfg=None,
+        device="tpu",
+        visualize=False,
+        from_pretrained=True,
+        infer_onnx=False,  # accepted for API compat; ONNX path replaced by JAX
+        rec_orientation_fallback=False,
+        rec_orientation_fallback_thresh=0.75,
+    ):
+        super().__init__()
+        self.load_model(model_name, path_cfg, from_pretrained=from_pretrained)
+        self.charset = load_charset(self._cfg.charset)
+        self.tokenizer = Tokenizer(self.charset)
+
+        self.device = device
+        self.visualize = visualize
+        self.rec_orientation_fallback = rec_orientation_fallback
+        self.rec_orientation_fallback_thresh = rec_orientation_fallback_thresh
+
+    def preprocess(self, img, polygons):
+        if polygons is None:
+            h, w = img.shape[:2]
+            polygons = [[[0, 0], [w, 0], [w, h], [0, h]]]
+        dataset = ParseqDataset(self._cfg, img, polygons)
+        return dataset, polygons
+
+    def _iter_minibatches(self, batch: np.ndarray):
+        bs = self._cfg.data.batch_size
+        for i in range(0, len(batch), bs):
+            yield batch[i : i + bs]
+
+    def _infer_padded(self, chunk: np.ndarray) -> np.ndarray:
+        """Pad chunk to a bucketed batch size, run the jitted program, and
+        strip padding (keeps the compiled-program count small)."""
+        n = len(chunk)
+        target = bucket_batch_size(n, self._cfg.data.batch_size)
+        if n < target:
+            pad = np.zeros((target - n,) + chunk.shape[1:], chunk.dtype)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        probs = self.model.forward_probs(chunk)
+        return probs[:n]
+
+    def postprocess(self, probs, points):
+        preds, scores = self.tokenizer.decode(probs)
+        preds = [unicodedata.normalize("NFKC", x) for x in preds]
+
+        directions = []
+        for point in points:
+            point = np.array(point)
+            w = np.linalg.norm(point[0] - point[1])
+            h = np.linalg.norm(point[1] - point[2])
+            directions.append("vertical" if h > w * 2 else "horizontal")
+        return preds, scores, directions
+
+    def _run_batch_inference(self, batch: np.ndarray, points):
+        preds, scores, directions = [], [], []
+        offset = 0
+        for chunk in self._iter_minibatches(batch):
+            batch_points = points[offset : offset + len(chunk)]
+            probs = self._infer_padded(chunk)
+            p, s, d = self.postprocess(probs, batch_points)
+            preds.extend(p)
+            scores.extend(s)
+            directions.extend(d)
+            offset += len(chunk)
+        return preds, scores, directions
+
+    def _apply_orientation_fallback(self, dataset, points, preds, scores, directions):
+        retry_indices = [
+            i
+            for i, s in enumerate(scores)
+            if s < self.rec_orientation_fallback_thresh
+        ]
+        if not retry_indices:
+            return
+        img_size = self._cfg.data.img_size
+        crops = []
+        for i in retry_indices:
+            rotated = cv2.rotate(dataset.roi_images[i], cv2.ROTATE_180)
+            crops.append(resize_with_padding(rotated, img_size))
+        batch = normalize_crop(np.stack(crops))
+        retry_points = [points[i] for i in retry_indices]
+        r_preds, r_scores, r_dirs = self._run_batch_inference(batch, retry_points)
+        for j, idx in enumerate(retry_indices):
+            if (
+                r_scores[j] > scores[idx]
+                and r_scores[j] >= self.rec_orientation_fallback_thresh
+            ):
+                preds[idx] = r_preds[j]
+                scores[idx] = r_scores[j]
+                directions[idx] = r_dirs[j]
+
+    def __call__(self, img, points=None, vis=None):
+        """Recognize text lines in ``img`` at the given quads (BGR image)."""
+        dataset, points = self.preprocess(img, points)
+        valid_points = dataset.valid_quads
+        batch = dataset.as_array()
+        preds, scores, directions = self._run_batch_inference(batch, valid_points)
+
+        if self.rec_orientation_fallback:
+            self._apply_orientation_fallback(
+                dataset, valid_points, preds, scores, directions
+            )
+
+        outputs = {
+            "contents": preds,
+            "scores": scores,
+            "points": valid_points,
+            "directions": directions,
+        }
+        results = TextRecognizerSchema(**outputs)
+
+        if self.visualize:
+            from .utils.visualizer import rec_visualizer
+
+            if vis is None:
+                vis = img.copy()
+            vis = rec_visualizer(
+                vis,
+                results,
+                font_size=self._cfg.visualize.font_size,
+                font_color=tuple(self._cfg.visualize.color[::-1]),
+                font_path=self._cfg.visualize.font,
+            )
+        return results, vis
