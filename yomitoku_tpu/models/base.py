@@ -26,6 +26,16 @@ def default_compute_dtype():
     return jnp.bfloat16 if platform == "tpu" else jnp.float32
 
 
+def on_host_cpu():
+    """Context that pins computation to the host CPU backend.
+
+    Parameter init / weight conversion are host-side jobs: running them on
+    the accelerator wastes HBM and (in this dev environment) hits a
+    pathologically slow device->host readback path.
+    """
+    return jax.default_device(jax.local_devices(backend="cpu")[0])
+
+
 class JaxModel:
     """Holds a linen module + params; subclasses add jitted programs."""
 

@@ -1,0 +1,200 @@
+"""DBNet+ text detector, TPU-native.
+
+Re-design of the reference DBNet (yomitoku/models/dbnet_plus.py:233:
+dilated ResNet-50 -> FPN-ish decoder -> ScaleFeatureSelection attention ->
+binarize head) as one jitted NHWC XLA program per input bucket.  The
+adaptive-threshold head exists in checkpoints (adaptive=True serial=True)
+but inference only consumes the binary map (dbnet_plus.py:227-229), so we
+skip computing it entirely.
+
+Output: full-resolution probability map (B, H, W) float32; thresholding /
+contour extraction happen in the postprocessor.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .base import JaxModel, default_compute_dtype
+from .layers.resnet import FrozenBatchNorm, ResNetFeatures
+
+
+def _resize_bilinear(x, h, w):
+    """torch F.interpolate(..., mode='bilinear', align_corners=False)."""
+    return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]), method="bilinear")
+
+
+class ConvBNReLU(nn.Module):
+    features: int
+    kernel: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = (self.kernel - 1) // 2
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            padding=[(pad, pad), (pad, pad)], use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32, name="conv",
+        )(x)
+        return nn.relu(FrozenBatchNorm(self.features, dtype=self.dtype, name="bn")(x))
+
+
+class ScaleChannelSpatialAttention(nn.Module):
+    """Reference models/layers/dbnet_feature_attention.py:36-81."""
+
+    in_planes: int
+    out_planes: int
+    num_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        dt = self.dtype
+        c1 = lambda f, name: nn.Conv(
+            f, (1, 1), use_bias=False, dtype=dt, param_dtype=jnp.float32, name=name
+        )
+        # channel-wise: GAP -> 1x1 -> relu -> 1x1, sigmoid
+        g = jnp.mean(x, axis=(1, 2), keepdims=True)
+        g = c1(self.out_planes, "cw_fc1")(g)
+        g = nn.relu(g)
+        g = c1(self.in_planes, "cw_fc2")(g)
+        g = nn.sigmoid(g) + x
+        # spatial-wise over the channel mean
+        m = jnp.mean(g, axis=3, keepdims=True)
+        s = nn.Conv(
+            1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+            dtype=dt, param_dtype=jnp.float32, name="sw_conv1",
+        )(m)
+        s = nn.relu(s)
+        s = c1(1, "sw_conv2")(s)
+        g = nn.sigmoid(s) + g
+        # per-scale attention logits
+        a = c1(self.num_features, "attn")(g)
+        return nn.sigmoid(a)  # (B, H, W, num_features)
+
+
+class ScaleFeatureSelection(nn.Module):
+    """Reference dbnet_feature_attention.py:118-166 (scale_channel_spatial)."""
+
+    in_channels: int
+    inter_channels: int
+    out_features_num: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, concat_x, features_list):
+        x = nn.Conv(
+            self.inter_channels, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
+            dtype=self.dtype, param_dtype=jnp.float32, name="conv",
+        )(concat_x)
+        score = ScaleChannelSpatialAttention(
+            self.inter_channels, self.inter_channels // 4, self.out_features_num,
+            dtype=self.dtype, name="enhanced_attention",
+        )(x)
+        parts = [
+            score[..., i : i + 1] * features_list[i]
+            for i in range(self.out_features_num)
+        ]
+        return jnp.concatenate(parts, axis=-1)
+
+
+class DBNetDecoder(nn.Module):
+    """FPN decoder + attention fuse + binarize head (dbnet_plus.py:41-230)."""
+
+    hidden_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        dt = self.dtype
+        d = self.hidden_dim
+        layers = ["layer1", "layer2", "layer3", "layer4"]
+        proj = {}
+        for name in layers:
+            proj[name] = nn.Conv(
+                d, (1, 1), use_bias=False, dtype=dt, param_dtype=jnp.float32,
+                name=f"input_proj_{name}",
+            )(feats[name])
+
+        # top-down pathway: layer4 -> layer1, resize-to-match then add
+        for top, bottom in (("layer3", "layer4"), ("layer2", "layer3"),
+                            ("layer1", "layer2")):
+            b = proj[bottom]
+            t = proj[top]
+            if b.shape[1:3] != t.shape[1:3]:
+                b = _resize_bilinear(b, t.shape[1], t.shape[2])
+            proj[top] = b + t
+
+        h1, w1 = proj["layer1"].shape[1:3]
+        outs = {}
+        for name in layers:
+            o = nn.Conv(
+                d // 4, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                dtype=dt, param_dtype=jnp.float32, name=f"out_proj_{name}",
+            )(proj[name])
+            if o.shape[1:3] != (h1, w1):
+                o = _resize_bilinear(o, h1, w1)
+            outs[name] = o
+
+        # channel order layer4..layer1 (reference fp[::-1])
+        fp = [outs["layer4"], outs["layer3"], outs["layer2"], outs["layer1"]]
+        fuse = jnp.concatenate(fp, axis=-1)
+        fuse = ScaleFeatureSelection(
+            d, d // 4, dtype=dt, name="concat_attention"
+        )(fuse, fp)
+
+        # binarize head: conv-bn-relu, convT x2 (bn relu), convT x2, sigmoid
+        x = ConvBNReLU(d // 4, 3, dtype=dt, name="bin0")(fuse)
+        x = nn.ConvTranspose(
+            d // 4, (2, 2), strides=(2, 2), use_bias=True,
+            dtype=dt, param_dtype=jnp.float32, name="bin_up1",
+        )(x)
+        x = nn.relu(FrozenBatchNorm(d // 4, dtype=dt, name="bin_bn1")(x))
+        x = nn.ConvTranspose(
+            1, (2, 2), strides=(2, 2), use_bias=True,
+            dtype=dt, param_dtype=jnp.float32, name="bin_up2",
+        )(x)
+        return nn.sigmoid(x.astype(jnp.float32))  # (B, H, W, 1) full res
+
+
+class DBNetCore(nn.Module):
+    hidden_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images):  # (B, H, W, 3) standardized
+        feats = ResNetFeatures(dtype=self.dtype, name="backbone")(images)
+        return DBNetDecoder(self.hidden_dim, dtype=self.dtype, name="decoder")(feats)
+
+
+class DBNet(JaxModel):
+    def __init__(self, cfg, dtype=None):
+        super().__init__(cfg)
+        self.dtype = dtype or default_compute_dtype()
+        self.core = DBNetCore(hidden_dim=cfg.decoder.hidden_dim, dtype=self.dtype)
+        self._fwd = jax.jit(partial(self._forward, self))
+
+    @staticmethod
+    def _forward(self, params, images):
+        return self.core.apply(params, images.astype(self.dtype))[..., 0]
+
+    def forward_binary(self, images: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) standardized float32 -> (B, H, W) prob map."""
+        return np.asarray(self._fwd(self.params, jnp.asarray(images)))
+
+    def init_params(self, seed: int = 0):
+        from .base import on_host_cpu
+
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        with on_host_cpu():
+            variables = jax.jit(self.core.init)(jax.random.PRNGKey(seed), dummy)
+            return jax.tree.map(np.asarray, variables)
+
+    def convert_torch_state_dict(self, sd: dict):
+        from .weights_convert import convert_dbnet
+
+        return convert_dbnet(sd, self)

@@ -146,10 +146,15 @@ class PARSeq(JaxModel):
         self._probs_fn = jax.jit(
             partial(self._forward_probs, self), static_argnums=(2, 3)
         )
+        self._tokens_fn = jax.jit(
+            partial(self._forward_tokens, self), static_argnums=(2, 3)
+        )
 
     # ------------------------------------------------------------ params
 
     def init_params(self, seed: int = 0):
+        from .base import on_host_cpu
+
         h, w = self.core.img_size
         dummy = jnp.zeros((1, h, w, 3), jnp.float32)
         mem = jnp.zeros((1, 4, self.core.enc_embed_dim), jnp.float32)
@@ -166,7 +171,8 @@ class PARSeq(JaxModel):
             v2 = self.core.init(rng, method=_touch)
             return {"params": {**v1["params"], **v2["params"]}}
 
-        return jax.tree.map(np.asarray, _init(jax.random.PRNGKey(seed)))
+        with on_host_cpu():
+            return jax.tree.map(np.asarray, _init(jax.random.PRNGKey(seed)))
 
     # ----------------------------------------------------- decode program
 
@@ -232,6 +238,9 @@ class PARSeq(JaxModel):
 
         if refine_iters:
             # Cloze mask: query i may not see content i+1 (its own target).
+            # The reference aliases the content mask to the same tensor and
+            # mutates it in place (parseq.py:146-150,199-207), so the cloze
+            # mask applies to BOTH streams during refinement.
             cloze = jnp.triu(jnp.ones((L, L), jnp.bool_), 1) & ~jnp.triu(
                 jnp.ones((L, L), jnp.bool_), 2
             )
@@ -245,10 +254,22 @@ class PARSeq(JaxModel):
                 content = apply("content_embeddings", tgt_in)
                 q = apply("position_queries", B, L)
                 logits = apply(
-                    "decode", q, content, memory, cloze, causal, padding_mask
+                    "decode", q, content, memory, cloze, cloze, padding_mask
                 ).astype(jnp.float32)
 
         return jax.nn.softmax(logits, axis=-1)
+
+    @staticmethod
+    def _forward_tokens(self, params, images, decode_ar, refine_iters):
+        """Device-side greedy reduction: (ids (B, L) int32, probs (B, L)
+        float32) of the argmax token per step.  Returning these instead of
+        the full (B, L, num_tokens-2) distributions cuts host transfer by
+        ~3 orders of magnitude (7k-class vocab) — the tokenizer only needs
+        the greedy path."""
+        dists = PARSeq._forward_probs(self, params, images, decode_ar, refine_iters)
+        ids = jnp.argmax(dists, axis=-1).astype(jnp.int32)
+        probs = jnp.take_along_axis(dists, ids[..., None], axis=-1)[..., 0]
+        return ids, probs
 
     def forward_probs(self, images: np.ndarray) -> np.ndarray:
         """Host entry: standardized (B, H, W, 3) float32 -> probs ndarray."""
@@ -260,6 +281,16 @@ class PARSeq(JaxModel):
                 int(self.refine_iters),
             )
         )
+
+    def forward_tokens(self, images: np.ndarray):
+        """Host entry: (B, H, W, 3) float32 -> (ids, probs) ndarrays."""
+        ids, probs = self._tokens_fn(
+            self.params,
+            jnp.asarray(images),
+            self.decode_ar,
+            int(self.refine_iters),
+        )
+        return np.asarray(ids), np.asarray(probs)
 
     # --------------------------------------------------- torch conversion
 

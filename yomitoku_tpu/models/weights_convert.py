@@ -71,6 +71,99 @@ def _timm_attn(r, prefix, embed_dim):
     }
 
 
+def t_conv_transpose(w):
+    # torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out),
+    # spatially flipped (flax uses unflipped fractionally-strided conv).
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
+
+
+def _frozen_bn(r, prefix):
+    return {
+        "scale": r.take(f"{prefix}.weight"),
+        "bias": r.take(f"{prefix}.bias"),
+        "mean": r.take(f"{prefix}.running_mean"),
+        "var": r.take(f"{prefix}.running_var"),
+    }
+
+
+def _conv(r, prefix, bias=False):
+    out = {"kernel": t_conv(r.take(f"{prefix}.weight"))}
+    if bias or r.has(f"{prefix}.bias"):
+        out["bias"] = r.take(f"{prefix}.bias")
+    return out
+
+
+def convert_dbnet(sd: dict, model) -> dict:
+    """Reference DBNet checkpoint -> our pytree.
+
+    Torch names per yomitoku/models/dbnet_plus.py (backbone.body.* from
+    torchvision resnet50 via IntermediateLayerGetter; decoder.*).  The
+    adaptive-threshold head (decoder.thresh.*) is dropped — inference never
+    evaluates it (dbnet_plus.py:227-229)."""
+    r = SDReader(sd)
+
+    backbone = {
+        "conv1": {"kernel": t_conv(r.take("backbone.body.conv1.weight"))},
+        "bn1": _frozen_bn(r, "backbone.body.bn1"),
+    }
+    for li, blocks in enumerate((3, 4, 6, 3)):
+        for bi in range(blocks):
+            p = f"backbone.body.layer{li + 1}.{bi}"
+            blk = {
+                "conv1": _conv(r, f"{p}.conv1"),
+                "bn1": _frozen_bn(r, f"{p}.bn1"),
+                "conv2": _conv(r, f"{p}.conv2"),
+                "bn2": _frozen_bn(r, f"{p}.bn2"),
+                "conv3": _conv(r, f"{p}.conv3"),
+                "bn3": _frozen_bn(r, f"{p}.bn3"),
+            }
+            if bi == 0:
+                blk["downsample_conv"] = _conv(r, f"{p}.downsample.0")
+                blk["downsample_bn"] = _frozen_bn(r, f"{p}.downsample.1")
+            backbone[f"layer{li + 1}_{bi}"] = blk
+
+    dec = {}
+    for L in ("layer1", "layer2", "layer3", "layer4"):
+        dec[f"input_proj_{L}"] = _conv(r, f"decoder.input_proj.{L}")
+        suffix = "" if L == "layer1" else ".0"
+        dec[f"out_proj_{L}"] = _conv(r, f"decoder.out_proj.{L}{suffix}")
+
+    dec["bin0"] = {
+        "conv": _conv(r, "decoder.binarize.0"),
+        "bn": _frozen_bn(r, "decoder.binarize.1"),
+    }
+    dec["bin_up1"] = {
+        "kernel": t_conv_transpose(r.take("decoder.binarize.3.weight")),
+        "bias": r.take("decoder.binarize.3.bias"),
+    }
+    dec["bin_bn1"] = _frozen_bn(r, "decoder.binarize.4")
+    dec["bin_up2"] = {
+        "kernel": t_conv_transpose(r.take("decoder.binarize.6.weight")),
+        "bias": r.take("decoder.binarize.6.bias"),
+    }
+
+    ca = "decoder.concat_attention"
+    dec["concat_attention"] = {
+        "conv": _conv(r, f"{ca}.conv", bias=True),
+        "enhanced_attention": {
+            "cw_fc1": _conv(r, f"{ca}.enhanced_attention.channel_wise.1"),
+            "cw_fc2": _conv(r, f"{ca}.enhanced_attention.channel_wise.3"),
+            "sw_conv1": _conv(r, f"{ca}.enhanced_attention.spatial_wise.0"),
+            "sw_conv2": _conv(r, f"{ca}.enhanced_attention.spatial_wise.2"),
+            "attn": _conv(r, f"{ca}.enhanced_attention.attention_wise.0"),
+        },
+    }
+
+    leftovers = [
+        k
+        for k in r.unused()
+        if "num_batches_tracked" not in k and not k.startswith("decoder.thresh")
+    ]
+    if leftovers:
+        raise ValueError(f"Unconverted torch params: {leftovers[:10]}...")
+    return {"params": {"backbone": backbone, "decoder": dec}}
+
+
 def convert_parseq(sd: dict, model) -> dict:
     r = SDReader(sd)
     D = model.core.enc_embed_dim

@@ -34,6 +34,13 @@ class BaseTokenizer:
         dists = np.asarray(token_dists)
         ids = dists.argmax(-1)  # (B, L)
         probs = np.take_along_axis(dists, ids[..., None], axis=-1)[..., 0]  # (B, L)
+        return self.decode_ids(ids, probs, raw=raw)
+
+    def decode_ids(self, ids, probs, raw: bool = False):
+        """Decode pre-reduced greedy (ids, probs) (B, L) arrays — the
+        device-side reduction path (models compute argmax on device so only
+        two small arrays cross the host boundary)."""
+        ids, probs = np.asarray(ids), np.asarray(probs)
         batch_tokens, batch_probs = [], []
         for row_ids, row_probs in zip(ids, probs):
             if raw:

@@ -89,19 +89,21 @@ class TextRecognizer(BaseModule):
         for i in range(0, len(batch), bs):
             yield batch[i : i + bs]
 
-    def _infer_padded(self, chunk: np.ndarray) -> np.ndarray:
+    def _infer_padded(self, chunk: np.ndarray):
         """Pad chunk to a bucketed batch size, run the jitted program, and
-        strip padding (keeps the compiled-program count small)."""
+        strip padding (keeps the compiled-program count small).  Returns
+        device-reduced greedy (ids, probs) — only two (B, L) arrays cross
+        the host boundary, not the (B, L, 7k) distributions."""
         n = len(chunk)
         target = bucket_batch_size(n, self._cfg.data.batch_size)
         if n < target:
             pad = np.zeros((target - n,) + chunk.shape[1:], chunk.dtype)
             chunk = np.concatenate([chunk, pad], axis=0)
-        probs = self.model.forward_probs(chunk)
-        return probs[:n]
+        ids, probs = self.model.forward_tokens(chunk)
+        return ids[:n], probs[:n]
 
-    def postprocess(self, probs, points):
-        preds, scores = self.tokenizer.decode(probs)
+    def postprocess(self, ids_probs, points):
+        preds, scores = self.tokenizer.decode_ids(*ids_probs)
         preds = [unicodedata.normalize("NFKC", x) for x in preds]
 
         directions = []
@@ -117,8 +119,8 @@ class TextRecognizer(BaseModule):
         offset = 0
         for chunk in self._iter_minibatches(batch):
             batch_points = points[offset : offset + len(chunk)]
-            probs = self._infer_padded(chunk)
-            p, s, d = self.postprocess(probs, batch_points)
+            ids_probs = self._infer_padded(chunk)
+            p, s, d = self.postprocess(ids_probs, batch_points)
             preds.extend(p)
             scores.extend(s)
             directions.extend(d)
