@@ -164,6 +164,130 @@ def convert_dbnet(sd: dict, model) -> dict:
     return {"params": {"backbone": backbone, "decoder": dec}}
 
 
+def _conv_norm(r, prefix):
+    """Reference ConvNormLayer -> our ConvNorm {conv, norm}."""
+    return {
+        "conv": _conv(r, f"{prefix}.conv"),
+        "norm": _frozen_bn(r, f"{prefix}.norm"),
+    }
+
+
+def convert_rtdetr(sd: dict, model) -> dict:
+    """Reference RTDETRv2 checkpoint -> our pytree (torch names per
+    yomitoku/models/rtdetr.py + layers/rtdetr_*.py).  Dropped (training-only
+    / buffers): denoising_class_embed, anchors, valid_mask,
+    num_points_scale."""
+    r = SDReader(sd)
+    cfg = model.cfg
+    d = cfg.RTDETRTransformerv2.hidden_dim
+
+    # ---- backbone (PResNet-50 d)
+    backbone = {}
+    for name in ("conv1_1", "conv1_2", "conv1_3"):
+        backbone[name] = _conv_norm(r, f"backbone.conv1.{name}")
+    for si, blocks in enumerate((3, 4, 6, 3)):
+        for bi in range(blocks):
+            p = f"backbone.res_layers.{si}.blocks.{bi}"
+            blk = {
+                "branch2a": _conv_norm(r, f"{p}.branch2a"),
+                "branch2b": _conv_norm(r, f"{p}.branch2b"),
+                "branch2c": _conv_norm(r, f"{p}.branch2c"),
+            }
+            if bi == 0:
+                # variant-d: stride-2 shortcuts are Sequential(pool, conv)
+                # -> "short.conv.conv"; stage 0 is ConvNormLayer directly.
+                if r.has(f"{p}.short.conv.conv.weight"):
+                    blk["short_conv"] = _conv_norm(r, f"{p}.short.conv")
+                else:
+                    blk["short_conv"] = _conv_norm(r, f"{p}.short")
+            backbone[f"stage{si}_{bi}"] = blk
+
+    # ---- hybrid encoder
+    enc = {}
+    n_lvl = len(cfg.HybridEncoder.in_channels)
+    for i in range(n_lvl):
+        enc[f"input_proj_{i}_conv"] = _conv(r, f"encoder.input_proj.{i}.conv")
+        enc[f"input_proj_{i}_norm"] = _frozen_bn(r, f"encoder.input_proj.{i}.norm")
+    for k in range(len(cfg.HybridEncoder.use_encoder_idx)):
+        for li in range(cfg.HybridEncoder.num_encoder_layers):
+            p = f"encoder.encoder.{k}.layers.{li}"
+            enc[f"encoder_{k}_layer_{li}"] = {
+                "self_attn": _packed_mha(r, f"{p}.self_attn", d),
+                "linear1": _dense(r, f"{p}.linear1"),
+                "linear2": _dense(r, f"{p}.linear2"),
+                "norm1": _layernorm(r, f"{p}.norm1"),
+                "norm2": _layernorm(r, f"{p}.norm2"),
+            }
+
+    def _csprep(prefix, has_conv3):
+        out = {
+            "conv1": _conv_norm(r, f"{prefix}.conv1"),
+            "conv2": _conv_norm(r, f"{prefix}.conv2"),
+        }
+        for j in range(3):
+            out[f"bottlenecks_{j}"] = {
+                "conv1": _conv_norm(r, f"{prefix}.bottlenecks.{j}.conv1"),
+                "conv2": _conv_norm(r, f"{prefix}.bottlenecks.{j}.conv2"),
+            }
+        if has_conv3:
+            out["conv3"] = _conv_norm(r, f"{prefix}.conv3")
+        return out
+
+    has_conv3 = float(cfg.HybridEncoder.expansion) != 1.0
+    for i in range(n_lvl - 1):
+        enc[f"lateral_convs_{i}"] = _conv_norm(r, f"encoder.lateral_convs.{i}")
+        enc[f"fpn_blocks_{i}"] = _csprep(f"encoder.fpn_blocks.{i}", has_conv3)
+        enc[f"downsample_convs_{i}"] = _conv_norm(r, f"encoder.downsample_convs.{i}")
+        enc[f"pan_blocks_{i}"] = _csprep(f"encoder.pan_blocks.{i}", has_conv3)
+
+    # ---- decoder
+    dec = {}
+    for i in range(cfg.RTDETRTransformerv2.num_levels):
+        dec[f"input_proj_{i}_conv"] = _conv(r, f"decoder.input_proj.{i}.conv")
+        dec[f"input_proj_{i}_norm"] = _frozen_bn(r, f"decoder.input_proj.{i}.norm")
+    dec["enc_output_proj"] = _dense(r, "decoder.enc_output.proj")
+    dec["enc_output_norm"] = _layernorm(r, "decoder.enc_output.norm")
+    dec["enc_score_head"] = _dense(r, "decoder.enc_score_head")
+
+    def _mlp(prefix, n):
+        return {f"layers_{j}": _dense(r, f"{prefix}.layers.{j}") for j in range(n)}
+
+    dec["enc_bbox_head"] = _mlp("decoder.enc_bbox_head", 3)
+    dec["query_pos_head"] = _mlp("decoder.query_pos_head", 2)
+    for i in range(cfg.RTDETRTransformerv2.num_layers):
+        p = f"decoder.decoder.layers.{i}"
+        dec[f"layers_{i}"] = {
+            "self_attn": _packed_mha(r, f"{p}.self_attn", d),
+            "cross_attn": {
+                "sampling_offsets": _dense(r, f"{p}.cross_attn.sampling_offsets"),
+                "attention_weights": _dense(r, f"{p}.cross_attn.attention_weights"),
+                "value_proj": _dense(r, f"{p}.cross_attn.value_proj"),
+                "output_proj": _dense(r, f"{p}.cross_attn.output_proj"),
+            },
+            "linear1": _dense(r, f"{p}.linear1"),
+            "linear2": _dense(r, f"{p}.linear2"),
+            "norm1": _layernorm(r, f"{p}.norm1"),
+            "norm2": _layernorm(r, f"{p}.norm2"),
+            "norm3": _layernorm(r, f"{p}.norm3"),
+        }
+        dec[f"dec_bbox_head_{i}"] = _mlp(f"decoder.dec_bbox_head.{i}", 3)
+        dec[f"dec_score_head_{i}"] = _dense(r, f"decoder.dec_score_head.{i}")
+
+    allowed_unused = (
+        "num_batches_tracked",
+        "denoising_class_embed",
+        "anchors",
+        "valid_mask",
+        "num_points_scale",
+    )
+    leftovers = [
+        k for k in r.unused() if not any(a in k for a in allowed_unused)
+    ]
+    if leftovers:
+        raise ValueError(f"Unconverted torch params: {leftovers[:10]}...")
+    return {"params": {"backbone": backbone, "encoder": enc, "decoder": dec}}
+
+
 def convert_parseq(sd: dict, model) -> dict:
     r = SDReader(sd)
     D = model.core.enc_embed_dim
