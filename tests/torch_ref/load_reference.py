@@ -53,6 +53,59 @@ def load_reference_rtdetr_layers():
     return pkg.rtdetr_backbone, pkg.rtdetr_hybrid_encoder, pkg.rtdetrv2_decoder
 
 
+def load_reference_module(name, path, package_files=()):
+    """Load a single reference module with its relative-import deps mounted
+    in a synthetic package."""
+    _ensure_omegaconf_stub()
+    pkg_name = f"ref_{name}"
+    if pkg_name in sys.modules:
+        return getattr(sys.modules[pkg_name], name)
+    pkg = types.ModuleType(pkg_name)
+    pkg.__path__ = list({p.rsplit("/", 1)[0] for p, _ in package_files} | {path.rsplit("/", 1)[0]})
+    sys.modules[pkg_name] = pkg
+    for fpath, modname in list(package_files) + [(path, name)]:
+        spec = importlib.util.spec_from_file_location(
+            f"{pkg_name}.{modname}", fpath
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"{pkg_name}.{modname}"] = mod
+        spec.loader.exec_module(mod)
+        setattr(pkg, modname, mod)
+    return getattr(pkg, name)
+
+
+def load_reference_reading_order():
+    """Reference reading_order module (needs utils.graph / utils.misc as a
+    sub-package)."""
+    _ensure_omegaconf_stub()
+    base = "/root/reference/src/yomitoku"
+    pkg_name = "ref_reading_order_pkg"
+    if pkg_name in sys.modules:
+        return sys.modules[pkg_name].reading_order
+    pkg = types.ModuleType(pkg_name)
+    pkg.__path__ = [base]
+    sys.modules[pkg_name] = pkg
+    utils_pkg = types.ModuleType(f"{pkg_name}.utils")
+    utils_pkg.__path__ = [f"{base}/utils"]
+    sys.modules[f"{pkg_name}.utils"] = utils_pkg
+    for sub in ("graph", "misc"):
+        spec = importlib.util.spec_from_file_location(
+            f"{pkg_name}.utils.{sub}", f"{base}/utils/{sub}.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"{pkg_name}.utils.{sub}"] = mod
+        spec.loader.exec_module(mod)
+        setattr(utils_pkg, sub, mod)
+    spec = importlib.util.spec_from_file_location(
+        f"{pkg_name}.reading_order", f"{base}/reading_order.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[f"{pkg_name}.reading_order"] = mod
+    spec.loader.exec_module(mod)
+    pkg.reading_order = mod
+    return mod
+
+
 def build_reference_rtdetr(cfg):
     """Assemble the reference RTDETRv2 (backbone/encoder/decoder attribute
     names match yomitoku/models/rtdetr.py:9 so state_dict prefixes line
