@@ -19,6 +19,38 @@ from .utils.logger import set_logger
 logger = set_logger(__name__, "INFO")
 
 
+_COMPILE_CACHE_SET = False
+
+
+def enable_compilation_cache():
+    """Persistent XLA compilation cache (shared across processes).
+
+    The big model programs take minutes to compile on CPU and ~20-40s on
+    TPU; caching them on disk makes every process after the first start
+    instantly.  Disable with YOMITOKU_TPU_COMPILE_CACHE=0."""
+    global _COMPILE_CACHE_SET
+    if _COMPILE_CACHE_SET:
+        return
+    _COMPILE_CACHE_SET = True
+    import os
+
+    if os.environ.get("YOMITOKU_TPU_COMPILE_CACHE", "1") == "0":
+        return
+    import jax
+
+    cache_dir = os.environ.get(
+        "YOMITOKU_TPU_COMPILE_CACHE_DIR",
+        os.path.expanduser("~/.cache/yomitoku_tpu/xla_cache"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # config name drift across jax versions
+        logger.warning(f"compilation cache unavailable: {e}")
+
+
 def observer(cls, func):
     """Wrap a callable with wall-clock INFO timing (reference base.py:36)."""
 
@@ -111,6 +143,7 @@ class BaseModule:
         return super().__new__(cls)
 
     def load_model(self, name, path_cfg=None, from_pretrained=True):
+        enable_compilation_cache()
         default_cfg, Net = self.model_catalog.get(name)
         self._cfg = load_config(default_cfg, path_cfg)
         self.model = Net(cfg=self._cfg)

@@ -540,6 +540,9 @@ class TrueTypeFont:
         maxp_off = self.tables["maxp"][0]
         self.n_glyphs = struct.unpack(">H", data[maxp_off + 4 : maxp_off + 6])[0]
 
+        self._cmap = None
+        self._advances = None
+
         loca_off, _ = self.tables["loca"]
         if self.loc_format == 0:
             raw = struct.unpack(
@@ -555,6 +558,85 @@ class TrueTypeFont:
                 )
             )
         self.glyf_off = self.tables["glyf"][0]
+
+    # -- cmap / metrics (used by the searchable-PDF writer) --------------
+
+    def cmap(self):
+        """unicode codepoint -> gid (formats 4 and 12)."""
+        if self._cmap is not None:
+            return self._cmap
+        data = self.data
+        out = {}
+        if "cmap" in self.tables:
+            base = self.tables["cmap"][0]
+            n = struct.unpack(">H", data[base + 2 : base + 4])[0]
+            best = None
+            for k in range(n):
+                pid, eid, off = struct.unpack(
+                    ">HHI", data[base + 4 + k * 8 : base + 12 + k * 8]
+                )
+                score = {(3, 10): 3, (0, 4): 3, (3, 1): 2, (0, 3): 2}.get(
+                    (pid, eid), 0
+                )
+                if score and (best is None or score > best[0]):
+                    best = (score, base + off)
+            if best:
+                sub = best[1]
+                fmt = struct.unpack(">H", data[sub : sub + 2])[0]
+                if fmt == 4:
+                    seg2 = struct.unpack(">H", data[sub + 6 : sub + 8])[0]
+                    segs = seg2 // 2
+                    ends = struct.unpack(
+                        f">{segs}H", data[sub + 14 : sub + 14 + seg2]
+                    )
+                    p0 = sub + 16 + seg2
+                    starts = struct.unpack(f">{segs}H", data[p0 : p0 + seg2])
+                    p1 = p0 + seg2
+                    deltas = struct.unpack(f">{segs}h", data[p1 : p1 + seg2])
+                    p2 = p1 + seg2
+                    range_offs = struct.unpack(f">{segs}H", data[p2 : p2 + seg2])
+                    for si in range(segs):
+                        for c in range(starts[si], min(ends[si], 0xFFFF) + 1):
+                            if range_offs[si] == 0:
+                                g = (c + deltas[si]) & 0xFFFF
+                            else:
+                                addr = (
+                                    p2 + si * 2 + range_offs[si]
+                                    + (c - starts[si]) * 2
+                                )
+                                g = struct.unpack(">H", data[addr : addr + 2])[0]
+                                if g:
+                                    g = (g + deltas[si]) & 0xFFFF
+                            if g:
+                                out[c] = g
+                elif fmt == 12:
+                    n_groups = struct.unpack(">I", data[sub + 12 : sub + 16])[0]
+                    for gi in range(n_groups):
+                        s, e, g = struct.unpack(
+                            ">III", data[sub + 16 + gi * 12 : sub + 28 + gi * 12]
+                        )
+                        for c in range(s, e + 1):
+                            out[c] = g + (c - s)
+        self._cmap = out
+        return out
+
+    def advance_width(self, gid):
+        """hmtx advance in font units."""
+        if self._advances is None:
+            hhea = self.tables["hhea"][0]
+            n_hm = struct.unpack(">H", self.data[hhea + 34 : hhea + 36])[0]
+            hmtx = self.tables["hmtx"][0]
+            adv = []
+            for k in range(n_hm):
+                adv.append(
+                    struct.unpack(
+                        ">H", self.data[hmtx + k * 4 : hmtx + k * 4 + 2]
+                    )[0]
+                )
+            self._advances = adv
+        if gid < len(self._advances):
+            return self._advances[gid]
+        return self._advances[-1] if self._advances else self.units_per_em // 2
 
     def glyph_path(self, gid, depth=0):
         if gid < 0 or gid >= self.n_glyphs or depth > 5:

@@ -688,15 +688,15 @@ class PageRenderer:
                         (doc.resolve(resources.get(Name("XObject"))) or {}).get(xname)
                     )
                     if isinstance(xo, Stream):
-                        sub = str(doc.resolve(xo.d.get(Name("Subtype"))))
+                        sub = str(doc.resolve(xo.dict.get(Name("Subtype"))))
                         if "Image" in sub:
                             self._draw_image(xo, state)
                         elif "Form" in sub:
                             sub_res = doc.resolve(
-                                xo.d.get(Name("Resources"))
+                                xo.dict.get(Name("Resources"))
                             ) or resources
                             sub_state = state.copy()
-                            mtx = doc.resolve(xo.d.get(Name("Matrix")))
+                            mtx = doc.resolve(xo.dict.get(Name("Matrix")))
                             if mtx:
                                 mtx = tuple(float(doc.resolve(v)) for v in mtx)
                                 sub_state.ctm = _mat_mul(mtx, sub_state.ctm)
@@ -857,7 +857,7 @@ class PageRenderer:
 
     def _decode_image(self, xo):
         doc = self.doc
-        d = xo.d
+        d = xo.dict
         w = int(doc.resolve(d.get(Name("Width"))))
         h = int(doc.resolve(d.get(Name("Height"))))
         filters = doc.resolve(d.get(Name("Filter")))
@@ -906,7 +906,7 @@ class PageRenderer:
             csname = str(doc.resolve(cs[0]))
             if "ICCBased" in csname:
                 icc = doc.resolve(cs[1])
-                ncomp = int(doc.resolve(icc.d.get(Name("N"), 3)))
+                ncomp = int(doc.resolve(icc.dict.get(Name("N"), 3)))
             elif "Indexed" in csname:
                 base = doc.resolve(cs[1])
                 lookup = doc.resolve(cs[3])
@@ -916,7 +916,7 @@ class PageRenderer:
                     pass
                 base_n = 3
                 if isinstance(base, list) and "ICCBased" in str(doc.resolve(base[0])):
-                    base_n = int(doc.resolve(doc.resolve(base[1]).d.get(Name("N"), 3)))
+                    base_n = int(doc.resolve(doc.resolve(base[1]).dict.get(Name("N"), 3)))
                 elif "Gray" in str(base):
                     base_n = 1
                 elif "CMYK" in str(base):
@@ -1009,7 +1009,7 @@ class PageRenderer:
 
         # alpha channel: SMask or full
         alpha = np.full((src_h, src_w), 255, np.uint8)
-        smask = doc.resolve(xo.d.get(Name("SMask")))
+        smask = doc.resolve(xo.dict.get(Name("SMask")))
         if isinstance(smask, Stream):
             try:
                 simg, _ = self._decode_image(smask)

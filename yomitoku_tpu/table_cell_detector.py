@@ -1,0 +1,320 @@
+"""CellDetector (beta): per-table cell/role detection with hole mining.
+
+Reference parity: yomitoku/table_cell_detector.py — RT-DETR with 2500
+queries over 8 classes {table, cell, form, header, check, select, group,
+empty}, containment filters, hole mining (mask detected cells, morphology
++ floodfill to find uncovered rectangles, keep holes adjacent to >=3 cells
+with majority role), whole-table fallbacks.
+
+TPU adaptation: all table crops run through ONE batched jitted forward.
+"""
+
+import cv2
+import numpy as np
+
+from .base import BaseModelCatalog, BaseModule
+from .configs import TableCellParserRTDETRv2BetaConfig
+from .layout_parser import preprocess_rtdetr
+from .models.rtdetr import RTDETRv2
+from .postprocessor.rtdetr_postprocessor import RTDETRPostProcessor
+from .schemas.table_semantic_parser import CellSchema, TableDetectorSchema
+from .utils.misc import (
+    calc_iou,
+    filter_by_flag,
+    is_bottom_adjacent,
+    is_contained,
+    is_right_adjacent,
+)
+
+
+class TableParserModelCatalog(BaseModelCatalog):
+    def __init__(self):
+        super().__init__()
+        self.register("rtdetrv2_beta", TableCellParserRTDETRv2BetaConfig, RTDETRv2)
+
+
+def filter_contained_rectangles_with_category(category_elements, ignore_categories=()):
+    """Within a category, mutual containment keeps the SMALLER box and
+    one-way containment drops the OUTER box (reference
+    table_cell_detector.py:31 — note: opposite of the layout-parser rule)."""
+    for category, elements in category_elements.items():
+        if category in ignore_categories:
+            continue
+        group_box = [e["box"] for e in elements]
+        check_list = [True] * len(group_box)
+        for i, box_i in enumerate(group_box):
+            for j, box_j in enumerate(group_box):
+                if i >= j:
+                    continue
+                ij = is_contained(box_i, box_j)
+                ji = is_contained(box_j, box_i)
+                area_i = (box_i[2] - box_i[0]) * (box_i[3] - box_i[1])
+                area_j = (box_j[2] - box_j[0]) * (box_j[3] - box_j[1])
+                if ij and ji:
+                    if area_i > area_j:
+                        check_list[j] = False
+                    else:
+                        check_list[i] = False
+                elif ij:
+                    check_list[i] = False
+                elif ji:
+                    check_list[j] = False
+        category_elements[category] = filter_by_flag(elements, check_list)
+    return category_elements
+
+
+def filter_contained_groups(category_elements):
+    """Drop groups contained (0.9) in another group (keep the outer)."""
+    groups = category_elements.get("group", [])
+    if len(groups) <= 1:
+        return category_elements
+    check_list = [True] * len(groups)
+    for i, gi in enumerate(groups):
+        for j, gj in enumerate(groups):
+            if i == j or gi["box"] == gj["box"]:
+                continue
+            if is_contained(gj["box"], gi["box"], threshold=0.9):
+                check_list[i] = False
+                break
+    category_elements["group"] = filter_by_flag(groups, check_list)
+    return category_elements
+
+
+def filter_contained_rectangles_across_categories(category_elements, source, target):
+    src_boxes = [e["box"] for e in category_elements[source]]
+    tgt_boxes = [e["box"] for e in category_elements[target]]
+    check_list = [True] * len(tgt_boxes)
+    for src_box in src_boxes:
+        for j, tgt_box in enumerate(tgt_boxes):
+            if is_contained(src_box, tgt_box):
+                check_list[j] = False
+    category_elements[target] = filter_by_flag(category_elements[target], check_list)
+    return category_elements
+
+
+def find_holes_as_rects(table_shape, cell_boxes, pad=2, close_ksize=5, min_area=300):
+    """Mask detected cells, morphology-open, floodfill from the border;
+    remaining white regions are uncovered holes (reference :105)."""
+    mask = np.full((table_shape[0], table_shape[1]), 255, np.uint8)
+    for bx1, by1, bx2, by2 in cell_boxes:
+        cv2.rectangle(
+            mask, (int(bx1), int(by1)), (int(bx2), int(by2)), 0, thickness=-1
+        )
+    if close_ksize > 1:
+        k = cv2.getStructuringElement(cv2.MORPH_RECT, (close_ksize, close_ksize))
+        mask = cv2.morphologyEx(mask, cv2.MORPH_OPEN, k, iterations=3)
+    ff = mask.copy()
+    h, w = ff.shape
+    flood_mask = np.zeros((h + 2, w + 2), np.uint8)
+    cv2.floodFill(ff, flood_mask, (0, 0), 0)
+    cnts, _ = cv2.findContours(ff, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+    rects = []
+    for c in cnts:
+        x, y, rw, rh = cv2.boundingRect(c)
+        if rw * rh < min_area:
+            continue
+        rects.append([x - pad, y - pad, x + rw + pad, y + rh + pad])
+    return rects
+
+
+def choose_role(role_counts):
+    if not role_counts:
+        return None
+    max_count = max(role_counts.values())
+    candidates = [r for r, c in role_counts.items() if c == max_count]
+    if len(candidates) > 1 and "cell" in candidates:
+        return "cell"
+    return candidates[0]
+
+
+def calc_adjacent_holes_to_cells(holes, cells):
+    """Keep holes adjacent (R/L/D/U) to cells in >2 directions; assign the
+    majority role of the adjacent cells (reference :148)."""
+    kept_holes = []
+    for hole in holes:
+        edge_counts = {d: 0 for d in "RLDU"}
+        role_counts = {r: 0 for r in ("cell", "header", "empty")}
+        for node in cells:
+            if is_right_adjacent(hole["box"], node["box"]):
+                edge_counts["R"] += 1
+                role_counts[node["role"]] += 1
+            if is_right_adjacent(node["box"], hole["box"]):
+                edge_counts["L"] += 1
+                role_counts[node["role"]] += 1
+            if is_bottom_adjacent(hole["box"], node["box"]):
+                edge_counts["D"] += 1
+                role_counts[node["role"]] += 1
+            if is_bottom_adjacent(node["box"], hole["box"]):
+                edge_counts["U"] += 1
+                role_counts[node["role"]] += 1
+        if sum(c > 0 for c in edge_counts.values()) > 2:
+            hole["role"] = choose_role(role_counts)
+            kept_holes.append(hole)
+    return kept_holes
+
+
+class CellDetector(BaseModule):
+    model_catalog = TableParserModelCatalog()
+
+    def __init__(
+        self,
+        model_name="rtdetrv2_beta",
+        path_cfg=None,
+        device="tpu",
+        visualize=False,
+        from_pretrained=True,
+        infer_onnx=False,  # API compat
+    ):
+        super().__init__()
+        self.load_model(model_name, path_cfg, from_pretrained=from_pretrained)
+        self.device = device
+        self.visualize = visualize
+        self.postprocessor = RTDETRPostProcessor(
+            num_classes=self._cfg.RTDETRTransformerv2.num_classes,
+            num_top_queries=self._cfg.RTDETRTransformerv2.num_queries,
+        )
+        self.thresh_score = self._cfg.thresh_score
+        self.label_mapper = dict(enumerate(self._cfg.category))
+
+    def preprocess(self, img, tables):
+        cv_img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        table_imgs = []
+        for table in tables:
+            x1, y1, x2, y2 = map(int, table.box)
+            crop = cv_img[y1:y2, x1:x2, :]
+            th, tw = crop.shape[:2]
+            resized = cv2.resize(
+                crop,
+                (self._cfg.data.img_size[1], self._cfg.data.img_size[0]),
+                interpolation=cv2.INTER_AREA,
+            )
+            table_imgs.append(
+                {
+                    "array": resized.astype(np.float32) / 255.0,
+                    "size": (th, tw),
+                    "offset": (x1, y1),
+                }
+            )
+        return table_imgs
+
+    def is_fully_contained(self, box1, box2, threshold=0.9):
+        return calc_iou(box1, box2) >= threshold
+
+    def postprocess(self, pred_one, data, table_box):
+        h, w = data["size"]
+        outputs = self.postprocessor(pred_one, [[w, h]], self.thresh_score)
+        preds = outputs[0]
+
+        category_elements = {c: [] for c in self.label_mapper.values()}
+        category_elements["hole"] = []
+        for box, score, label in zip(
+            preds["boxes"], preds["scores"], preds["labels"]
+        ):
+            category = self.label_mapper[int(label)]
+            box = box.astype(int).tolist()
+            # drop detections that are just the whole table
+            if self.is_fully_contained(box, [0, 0, w, h]):
+                continue
+            category_elements[category].append(
+                {"box": box, "score": float(score), "role": category}
+            )
+
+        category_elements = filter_contained_rectangles_with_category(
+            category_elements, ignore_categories=["group"]
+        )
+        category_elements = filter_contained_groups(category_elements)
+        category_elements = filter_contained_rectangles_across_categories(
+            category_elements, source="cell", target="header"
+        )
+        category_elements = filter_contained_rectangles_across_categories(
+            category_elements, source="cell", target="empty"
+        )
+
+        cell_boxes = (
+            category_elements["cell"]
+            + category_elements["header"]
+            + category_elements["empty"]
+        )
+        for box in find_holes_as_rects(
+            data["size"], [c["box"] for c in cell_boxes]
+        ):
+            category_elements["hole"].append(
+                {"box": box, "score": 1.0, "role": "hole"}
+            )
+
+        for cells in category_elements.values():
+            for cell in cells:
+                cell["box"][0] += data["offset"][0]
+                cell["box"][1] += data["offset"][1]
+                cell["box"][2] += data["offset"][0]
+                cell["box"][3] += data["offset"][1]
+
+        # fallbacks: whole table as group / cell
+        if len(category_elements["group"]) == 0:
+            category_elements["group"] = [{"box": table_box, "role": "group"}]
+        if (
+            len(
+                category_elements["cell"]
+                + category_elements["empty"]
+                + category_elements["header"]
+            )
+            == 0
+        ):
+            category_elements["cell"] = [{"box": table_box, "role": "cell"}]
+
+        cells = self.extract_cell_elements(category_elements)
+        return self.remove_noise_cells(cells, min_width=10, min_height=10)
+
+    def remove_noise_cells(self, cells, min_width=30, min_height=30):
+        return [
+            c
+            for c in cells
+            if (c.box[2] - c.box[0]) > min_width
+            and (c.box[3] - c.box[1]) > min_height
+        ]
+
+    def extract_cell_elements(self, elements):
+        elements["hole"] = calc_adjacent_holes_to_cells(
+            elements["hole"],
+            elements["cell"] + elements["header"] + elements["empty"],
+        )
+        cells = []
+        for category, values in elements.items():
+            if category in ("cell", "header", "empty", "group", "hole"):
+                for value in values:
+                    cells.append(
+                        CellSchema(
+                            id=f"c{len(cells)}",
+                            box=value["box"],
+                            role=value["role"],
+                            contents=None,
+                            row=None,
+                            col=None,
+                            row_span=None,
+                            col_span=None,
+                        )
+                    )
+        return cells
+
+    def __call__(self, img, tables):
+        data = self.preprocess(img, tables)
+        outputs = []
+        if data:
+            batch = np.stack([d["array"] for d in data])
+            preds = self.model.forward(batch)
+            logits = np.asarray(preds["pred_logits"])
+            boxes = np.asarray(preds["pred_boxes"])
+            for i, (d, table) in enumerate(zip(data, tables)):
+                pred_one = {
+                    "pred_logits": logits[i : i + 1],
+                    "pred_boxes": boxes[i : i + 1],
+                }
+                cells = self.postprocess(pred_one, d, table.box)
+                if len(cells) == 0:
+                    continue
+                outputs.append(
+                    TableDetectorSchema(
+                        id=None, box=table.box, role=table.role, cells=cells
+                    )
+                )
+        return outputs
