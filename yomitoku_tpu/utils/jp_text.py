@@ -44,6 +44,38 @@ def h2z(text: str, kana=True, ascii=True, digit=True) -> str:
     return "".join(out)
 
 
+def z2h(text: str, digit=True, ascii=True, kana=False) -> str:
+    """Full-width -> half-width (digits/ascii; kana optional, unused by
+    the extractor rules)."""
+    out = []
+    for ch in text:
+        o = ord(ch)
+        if 0xFF01 <= o <= 0xFF5E:
+            half = chr(o - 0xFF01 + 0x21)
+            if (digit and half.isdigit()) or (
+                ascii and not half.isdigit()
+            ):
+                out.append(half)
+                continue
+        if ascii and ch == "　":
+            out.append(" ")
+            continue
+        out.append(ch)
+    return "".join(out)
+
+
+def kata2hira(text: str) -> str:
+    return "".join(
+        chr(ord(c) - 0x60) if 0x30A1 <= ord(c) <= 0x30F6 else c for c in text
+    )
+
+
+def hira2kata(text: str) -> str:
+    return "".join(
+        chr(ord(c) + 0x60) if 0x3041 <= ord(c) <= 0x3096 else c for c in text
+    )
+
+
 _FW_MAP = str.maketrans({"¥": "￥", "·": "・", " ": "　"})
 
 
