@@ -44,7 +44,7 @@ def main():
     )
 
     # Warmup / compile.
-    jax.block_until_ready(m._tokens_fn(m.params, x, True, 1))
+    jax.block_until_ready(m._tokens_fn(m.dparams, x, True, 1))
 
     # Device-time throughput (block_until_ready, no host readback in the
     # loop): the (B, L) ids/probs readback is ~100KB — negligible on real
@@ -53,7 +53,7 @@ def main():
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = m._tokens_fn(m.params, x, True, 1)
+        out = m._tokens_fn(m.dparams, x, True, 1)
         jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     lines_per_sec = batch / dt

@@ -42,6 +42,7 @@ class JaxModel:
     def __init__(self, cfg):
         self.cfg = cfg
         self._params = None
+        self._dparams = None
 
     # -- parameters -----------------------------------------------------
 
@@ -58,6 +59,16 @@ class JaxModel:
     @params.setter
     def params(self, value):
         self._params = value
+        self._dparams = None
+
+    @property
+    def dparams(self):
+        """Device-resident params.  Host numpy pytrees passed to jit are
+        re-uploaded on EVERY call (tens of ms for 100MB models); pin them
+        on device once."""
+        if self._dparams is None:
+            self._dparams = jax.device_put(self.params)
+        return self._dparams
 
     def param_count(self) -> int:
         return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.params))

@@ -184,7 +184,7 @@ class DBNet(JaxModel):
 
     def forward_binary(self, images: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) standardized float32 -> (B, H, W) prob map."""
-        return np.asarray(self._fwd(self.params, jnp.asarray(images)))
+        return np.asarray(self._fwd(self.dparams, jnp.asarray(images)))
 
     def init_params(self, seed: int = 0):
         from .base import on_host_cpu

@@ -275,7 +275,7 @@ class PARSeq(JaxModel):
         """Host entry: standardized (B, H, W, 3) float32 -> probs ndarray."""
         return np.asarray(
             self._probs_fn(
-                self.params,
+                self.dparams,
                 jnp.asarray(images),
                 self.decode_ar,
                 int(self.refine_iters),
@@ -285,7 +285,7 @@ class PARSeq(JaxModel):
     def forward_tokens(self, images: np.ndarray):
         """Host entry: (B, H, W, 3) float32 -> (ids, probs) ndarrays."""
         ids, probs = self._tokens_fn(
-            self.params,
+            self.dparams,
             jnp.asarray(images),
             self.decode_ar,
             int(self.refine_iters),
