@@ -43,19 +43,15 @@ def main():
         np.random.RandomState(0).rand(batch, h, w, 3).astype(np.float32)
     )
 
-    # Warmup / compile.
-    jax.block_until_ready(m._tokens_fn(m.dparams, x, True, 1))
+    # Device-time throughput.  NOTE: block_until_ready does NOT actually
+    # synchronize under the tunneled device — it reports impossible
+    # numbers (32 PFLOP/s implied).  utils.timing.device_time enqueues N
+    # executions and syncs with a single small host readback of the last
+    # output (device programs run FIFO), which is calibrated to within a
+    # few % of matmul speed-of-light.
+    from yomitoku_tpu.utils.timing import device_time
 
-    # Device-time throughput (block_until_ready, no host readback in the
-    # loop): the (B, L) ids/probs readback is ~100KB — negligible on real
-    # hardware PCIe, but this dev environment tunnels the chip with a
-    # pathological first-readback stall that would swamp the measurement.
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = m._tokens_fn(m.dparams, x, True, 1)
-        jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    dt = device_time(lambda: m._tokens_fn(m.dparams, x, True, 1), iters=20)
     lines_per_sec = batch / dt
 
     vs = (

@@ -17,19 +17,15 @@ import numpy as np
 
 from yomitoku_tpu.base import enable_compilation_cache
 from yomitoku_tpu.config import structured
+from yomitoku_tpu.utils.timing import device_time
 
 enable_compilation_cache()
 
 RESULTS = {}
 
 
-def _time(fn, iters=5):
-    fn()  # warmup/compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def _time(fn, iters=50):
+    return device_time(fn, iters=iters)
 
 
 def bench_det():
@@ -57,7 +53,7 @@ def bench_rec():
     for batch in (128, 256):
         h, w = m.core.img_size
         x = jnp.asarray(np.random.rand(batch, h, w, 3).astype(np.float32))
-        dt = _time(lambda: m._tokens_fn(m.dparams, x, True, 1), iters=3)
+        dt = _time(lambda: m._tokens_fn(m.dparams, x, True, 1), iters=20)
         RESULTS[f"parseq_large_b{batch}_lines_per_sec"] = round(batch / dt, 1)
 
 
