@@ -1,0 +1,66 @@
+"""Parity tests for the fused Pallas attention kernel (interpret mode on
+CPU; the same kernel compiles via Mosaic on TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yomitoku_tpu.ops.pallas.flash_attention import (
+    fused_attention,
+    fused_attention_reference,
+)
+
+
+@pytest.mark.parametrize(
+    "B,H,Lq,Lk,Dh",
+    [
+        (2, 3, 400, 400, 64),   # ViT encoder shape (L=400 non-128-aligned)
+        (1, 8, 300, 300, 32),   # RT-DETR decoder self-attn
+        (2, 2, 101, 400, 64),   # PARSeq refine cross-attn
+        (1, 1, 128, 128, 128),  # exactly aligned
+        (1, 2, 7, 5, 16),       # tiny ragged
+    ],
+)
+def test_fused_attention_matches_reference(B, H, Lq, Lk, Dh):
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, H, Lq, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, Lk, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, Lk, Dh).astype(np.float32))
+
+    out = fused_attention(q, k, v, interpret=True)
+    ref = fused_attention_reference(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_fused_attention_bf16():
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(2, 2, 64, 96, ).astype(np.float32)).astype(
+        jnp.bfloat16
+    ).reshape(2, 2, 64, 96)
+    k = jnp.asarray(rng.randn(2, 2, 80, 96).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    v = jnp.asarray(rng.randn(2, 2, 80, 96).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    out = fused_attention(q, k, v, interpret=True)
+    ref = fused_attention_reference(q, k, v)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32),
+        np.asarray(ref, np.float32),
+        atol=3e-2,
+        rtol=3e-2,
+    )
+
+
+def test_custom_scale():
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(1, 1, 32, 16).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 1, 32, 16).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 1, 32, 16).astype(np.float32))
+    out = fused_attention(q, k, v, scale=0.5, interpret=True)
+    ref = fused_attention_reference(q, k, v, scale=0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -5,7 +5,10 @@ Shapes are batch-first; masks are boolean with True meaning MASKED
 models) so converted checkpoints behave identically.
 
 MXU notes: all projections are single fused matmuls; attention math is
-done in float32 accumulation regardless of compute dtype.
+done in float32 accumulation regardless of compute dtype.  The module
+exposes split ``project_*`` / ``attend`` methods so autoregressive
+decoders can hoist loop-invariant K/V projections out of the decode loop
+(the reference recomputes them per token, yomitoku/models/parseq.py:160).
 """
 
 from typing import Optional
@@ -14,9 +17,45 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def _use_fused(q, k, mask) -> bool:
+    """Fused Pallas attention: unmasked, TPU, and fits in VMEM."""
+    import os
+
+    import jax
+
+    if mask is not None or os.environ.get("YOMITOKU_TPU_NO_FLASH"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    Lq, Dh = q.shape[-2], q.shape[-1]
+    Lk = k.shape[-2]
+    # Lq >= 16: single-/few-query attends (the AR decode step) are cheaper
+    # as plain XLA ops than as a pallas_call per loop iteration.
+    return Dh <= 128 and 16 <= Lq <= 1024 and Lk <= 1024
+
+
+def _use_fused_packed(query, key, num_heads) -> bool:
+    """Head-packed fused kernel eligibility ((B, L, D) layout inputs)."""
+    import os
+
+    import jax
+
+    if os.environ.get("YOMITOKU_TPU_NO_FLASH"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    Lq, D = query.shape[-2], query.shape[-1]
+    Lk = key.shape[-2]
+    return D // num_heads <= 128 and 16 <= Lq <= 1024 and Lk <= 1024
+
+
 def scaled_dot_attention(q, k, v, mask=None, dtype=jnp.float32):
     """q: (B, H, Lq, Dh), k/v: (B, H, Lk, Dh); mask True = masked out."""
     scale = q.shape[-1] ** -0.5
+    if _use_fused(q, k, mask):
+        from ...ops.pallas.flash_attention import fused_attention
+
+        return fused_attention(q, k, v, scale=scale).astype(dtype)
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
@@ -37,7 +76,39 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        dense = lambda name: nn.Dense(
+            self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
+        self.q_proj = dense("q_proj")
+        self.k_proj = dense("k_proj")
+        self.v_proj = dense("v_proj")
+        self.out_proj = dense("out_proj")
+
+    def _split(self, x):
+        B, L, D = x.shape
+        H = self.num_heads
+        return x.reshape(B, L, H, D // H).transpose(0, 2, 1, 3)
+
+    # -- split API (for cached AR decoding) ------------------------------
+
+    def project_q(self, query):
+        """(B, Lq, D) -> (B, H, Lq, Dh)."""
+        return self._split(self.q_proj(query))
+
+    def project_kv(self, key, value):
+        """(B, Lk, D) x2 -> ((B, H, Lk, Dh), (B, H, Lk, Dh))."""
+        return self._split(self.k_proj(key)), self._split(self.v_proj(value))
+
+    def attend(self, q, k, v, mask: Optional[jnp.ndarray] = None):
+        """Heads-split inputs; mask broadcastable to (B, H, Lq, Lk)."""
+        out = scaled_dot_attention(q, k, v, mask, dtype=self.dtype)
+        B, H, Lq, Dh = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, H * Dh).astype(self.dtype)
+        return self.out_proj(out)
+
+    # -- fused entry ------------------------------------------------------
+
     def __call__(
         self,
         query,
@@ -46,17 +117,24 @@ class MultiHeadAttention(nn.Module):
         attn_mask: Optional[jnp.ndarray] = None,
         key_padding_mask: Optional[jnp.ndarray] = None,
     ):
-        B, Lq, D = query.shape
-        Lk = key.shape[1]
-        H = self.num_heads
-        Dh = D // H
+        if (
+            attn_mask is None
+            and key_padding_mask is None
+            and _use_fused_packed(query, key, self.num_heads)
+        ):
+            # Head-packed fused kernel: no (B, L, H, Dh) transposes at all.
+            from ...ops.pallas.flash_attention import fused_attention_heads
 
-        dense = lambda name: nn.Dense(
-            D, dtype=self.dtype, param_dtype=jnp.float32, name=name
-        )
-        q = dense("q_proj")(query).reshape(B, Lq, H, Dh).transpose(0, 2, 1, 3)
-        k = dense("k_proj")(key).reshape(B, Lk, H, Dh).transpose(0, 2, 1, 3)
-        v = dense("v_proj")(value).reshape(B, Lk, H, Dh).transpose(0, 2, 1, 3)
+            out = fused_attention_heads(
+                self.q_proj(query),
+                self.k_proj(key),
+                self.v_proj(value),
+                self.num_heads,
+            )
+            return self.out_proj(out)
+
+        q = self.project_q(query)
+        k, v = self.project_kv(key, value)
 
         mask = None
         if attn_mask is not None:
@@ -71,9 +149,7 @@ class MultiHeadAttention(nn.Module):
             kp = key_padding_mask[:, None, None, :]  # (B, 1, 1, Lk)
             mask = kp if mask is None else jnp.logical_or(mask, kp)
 
-        out = scaled_dot_attention(q, k, v, mask, dtype=self.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, D).astype(self.dtype)
-        return dense("out_proj")(out)
+        return self.attend(q, k, v, mask)
 
 
 class Mlp(nn.Module):

@@ -46,6 +46,38 @@ class TwoStreamDecoderLayer(nn.Module):
         tgt = tgt + h
         return tgt + self.mlp(self.norm2(tgt))
 
+    # -- cached AR decode API --------------------------------------------
+    # The reference re-projects content and memory K/V on every decode
+    # step (yomitoku/models/parseq.py:160-186 via nn.MultiheadAttention);
+    # for B=128, L=101, M=400, d=768 that is ~150 GFLOP/step of
+    # loop-invariant work.  These methods let the jitted while_loop keep
+    # K/V caches and project only the one new content row per step.
+
+    def memory_kv(self, memory):
+        """Loop-invariant cross-attention K/V: (B, H, M, Dh) x2."""
+        return self.cross_attn.project_kv(memory, memory)
+
+    def content_kv(self, rows):
+        """Self-attention K/V for new content rows: (B, H, r, Dh) x2."""
+        c = self.norm_c(rows)
+        return self.self_attn.project_kv(c, c)
+
+    def query_step(self, query, kc, vc, km, vm, query_mask=None):
+        """Query-stream update against cached K/V (no content update)."""
+        mask = None
+        if query_mask is not None:
+            m = query_mask
+            mask = m[None, None] if m.ndim == 2 else m[:, None]
+        h = self.self_attn.attend(
+            self.self_attn.project_q(self.norm_q(query)), kc, vc, mask
+        )
+        tgt = query + h
+        h = self.cross_attn.attend(
+            self.cross_attn.project_q(self.norm1(tgt)), km, vm
+        )
+        tgt = tgt + h
+        return tgt + self.mlp(self.norm2(tgt))
+
     def __call__(
         self,
         query,
@@ -109,3 +141,15 @@ class TwoStreamDecoder(nn.Module):
                 update_content=not last,
             )
         return self.norm(query)
+
+    # -- cached AR decode (depth-1 fast path) ------------------------------
+
+    def ar_memory_kv(self, memory):
+        return self.layers[0].memory_kv(memory)
+
+    def ar_content_kv(self, rows):
+        return self.layers[0].content_kv(rows)
+
+    def ar_query_step(self, query, kc, vc, km, vm, query_mask=None):
+        q = self.layers[0].query_step(query, kc, vc, km, vm, query_mask)
+        return self.norm(q)

@@ -114,6 +114,24 @@ class PARSeqCore(nn.Module):
         q = self.pos_queries[:, :num_steps].astype(self.dtype)
         return jnp.broadcast_to(q, (batch_size, num_steps, self.dec_embed_dim))
 
+    # -- cached AR decode (depth-1 decoder) -------------------------------
+
+    def memory_kv(self, memory):
+        return self.decoder.ar_memory_kv(memory)
+
+    def content_kv_rows(self, rows):
+        return self.decoder.ar_content_kv(rows)
+
+    def content_row(self, tokens, j):
+        """Content row j (>=1) for tokens written at tgt_in[:, j]:
+        pos_queries[j-1] + emb(token)."""
+        pos = jax.lax.dynamic_slice_in_dim(self.pos_queries, j - 1, 1, axis=1)
+        return pos.astype(self.dtype) + self.embed_tokens(tokens[:, None])
+
+    def decode_step(self, query, kc, vc, km, vm, mask_row):
+        out = self.decoder.ar_query_step(query, kc, vc, km, vm, mask_row)
+        return self.head(out)
+
 
 class PARSeq(JaxModel):
     """Task-facing wrapper: owns params and the jitted decode program."""
@@ -194,40 +212,114 @@ class PARSeq(JaxModel):
         if decode_ar:
             tgt_in0 = jnp.full((B, L), self.pad_id, jnp.int32)
             tgt_in0 = tgt_in0.at[:, 0].set(self.bos_id)
-            logits0 = jnp.zeros((B, L, self.num_tokens - 2), jnp.float32)
+            pos_all = apply("position_queries", B, L)
 
-            def cond(state):
-                i, _, _, done = state
-                return jnp.logical_and(i < L, jnp.logical_not(done))
-
-            def body(state):
-                i, tgt_in, logits_buf, _ = state
-                content = apply("content_embeddings", tgt_in)
-                q = jax.lax.dynamic_slice_in_dim(
-                    apply("position_queries", B, L), i, 1, axis=1
-                )
-                qmask = jax.lax.dynamic_slice_in_dim(causal, i, 1, axis=0)
-                p_i = apply("decode", q, content, memory, qmask)  # (B, 1, C)
-                p_i = p_i.astype(jnp.float32)
-                logits_buf = jax.lax.dynamic_update_slice_in_dim(
-                    logits_buf, p_i, i, axis=1
-                )
-                nxt = jnp.argmax(p_i[:, 0], axis=-1).astype(jnp.int32)
-                write = i + 1 < L
-                tgt_in = jax.lax.cond(
-                    write,
-                    lambda t: t.at[:, i + 1].set(nxt),
-                    lambda t: t,
-                    tgt_in,
-                )
-                # Early exit once every row has produced an EOS.
-                done = jnp.all(jnp.any(tgt_in == self.eos_id, axis=-1))
-                done = jnp.logical_and(done, write)
-                return (i + 1, tgt_in, logits_buf, done)
-
-            _, _, logits, _ = jax.lax.while_loop(
-                cond, body, (jnp.asarray(0), tgt_in0, logits0, jnp.asarray(False))
+            # When a refinement pass follows, the AR loop's logits are only
+            # ever consumed as argmax ids — which is exactly tgt_in (the
+            # refine pass masks everything past each row's first EOS, so
+            # the PAD-vs-EOS difference in never-visited tail positions is
+            # invisible).  Skipping the (B, L, vocab) float32 carry removes
+            # a ~360 MB HBM round-trip per decode step at batch 128.
+            carry_logits = refine_iters == 0
+            logits0 = (
+                jnp.zeros((B, L, self.num_tokens - 2), jnp.float32)
+                if carry_logits
+                else jnp.zeros((B, 0, 0), jnp.float32)
             )
+
+            if core.dec_depth == 1:
+                # Fast path: K/V caches.  Cross-attn K/V over memory is
+                # loop-invariant; content K/V grows one row per step
+                # (rows > i are zero but masked by the causal row).
+                km, vm = apply("memory_kv", memory)
+                nh = core.dec_num_heads
+                dh = core.dec_embed_dim // nh
+                kc0 = jnp.zeros((B, nh, L, dh), self.dtype)
+                vc0 = jnp.zeros((B, nh, L, dh), self.dtype)
+                bos_row = apply(
+                    "content_embeddings",
+                    jnp.full((B, 1), self.bos_id, jnp.int32),
+                )
+                kr, vr = apply("content_kv_rows", bos_row)
+                kc0 = jax.lax.dynamic_update_slice_in_dim(kc0, kr, 0, axis=2)
+                vc0 = jax.lax.dynamic_update_slice_in_dim(vc0, vr, 0, axis=2)
+
+                def cond(state):
+                    i, _, _, done, _, _ = state
+                    return jnp.logical_and(i < L, jnp.logical_not(done))
+
+                def body(state):
+                    i, tgt_in, logits_buf, _, kc, vc = state
+                    q = jax.lax.dynamic_slice_in_dim(pos_all, i, 1, axis=1)
+                    mrow = jax.lax.dynamic_slice_in_dim(causal, i, 1, axis=0)
+                    p_i = apply("decode_step", q, kc, vc, km, vm, mrow)
+                    p_i = p_i.astype(jnp.float32)
+                    if carry_logits:
+                        logits_buf = jax.lax.dynamic_update_slice_in_dim(
+                            logits_buf, p_i, i, axis=1
+                        )
+                    nxt = jnp.argmax(p_i[:, 0], axis=-1).astype(jnp.int32)
+                    write = i + 1 < L
+
+                    def do_write(args):
+                        tgt_in, kc, vc = args
+                        tgt_in = tgt_in.at[:, i + 1].set(nxt)
+                        row = apply("content_row", nxt, i + 1)
+                        kr, vr = apply("content_kv_rows", row)
+                        kc = jax.lax.dynamic_update_slice_in_dim(
+                            kc, kr, i + 1, axis=2
+                        )
+                        vc = jax.lax.dynamic_update_slice_in_dim(
+                            vc, vr, i + 1, axis=2
+                        )
+                        return tgt_in, kc, vc
+
+                    tgt_in, kc, vc = jax.lax.cond(
+                        write, do_write, lambda a: a, (tgt_in, kc, vc)
+                    )
+                    # Early exit once every row has produced an EOS.
+                    done = jnp.all(jnp.any(tgt_in == self.eos_id, axis=-1))
+                    done = jnp.logical_and(done, write)
+                    return (i + 1, tgt_in, logits_buf, done, kc, vc)
+
+                _, tgt_in_final, logits, _, _, _ = jax.lax.while_loop(
+                    cond,
+                    body,
+                    (jnp.asarray(0), tgt_in0, logits0, jnp.asarray(False),
+                     kc0, vc0),
+                )
+            else:
+                def cond(state):
+                    i, _, _, done = state
+                    return jnp.logical_and(i < L, jnp.logical_not(done))
+
+                def body(state):
+                    i, tgt_in, logits_buf, _ = state
+                    content = apply("content_embeddings", tgt_in)
+                    q = jax.lax.dynamic_slice_in_dim(pos_all, i, 1, axis=1)
+                    qmask = jax.lax.dynamic_slice_in_dim(causal, i, 1, axis=0)
+                    p_i = apply("decode", q, content, memory, qmask)
+                    p_i = p_i.astype(jnp.float32)
+                    if carry_logits:
+                        logits_buf = jax.lax.dynamic_update_slice_in_dim(
+                            logits_buf, p_i, i, axis=1
+                        )
+                    nxt = jnp.argmax(p_i[:, 0], axis=-1).astype(jnp.int32)
+                    write = i + 1 < L
+                    tgt_in = jax.lax.cond(
+                        write,
+                        lambda t: t.at[:, i + 1].set(nxt),
+                        lambda t: t,
+                        tgt_in,
+                    )
+                    done = jnp.all(jnp.any(tgt_in == self.eos_id, axis=-1))
+                    done = jnp.logical_and(done, write)
+                    return (i + 1, tgt_in, logits_buf, done)
+
+                _, tgt_in_final, logits, _ = jax.lax.while_loop(
+                    cond, body,
+                    (jnp.asarray(0), tgt_in0, logits0, jnp.asarray(False)),
+                )
         else:
             content = apply(
                 "content_embeddings",
@@ -245,9 +337,15 @@ class PARSeq(JaxModel):
                 jnp.ones((L, L), jnp.bool_), 2
             )
             bos = jnp.full((B, 1), self.bos_id, jnp.int32)
-            for _ in range(refine_iters):
-                prev = jnp.argmax(logits[:, :-1], axis=-1).astype(jnp.int32)
-                tgt_in = jnp.concatenate([bos, prev], axis=1)
+            for it in range(refine_iters):
+                if it == 0 and decode_ar:
+                    # tgt_in from the AR loop already equals
+                    # [BOS | argmax ids]; tail positions past each row's
+                    # first EOS differ (PAD vs EOS) but are masked below.
+                    tgt_in = tgt_in_final
+                else:
+                    prev = jnp.argmax(logits[:, :-1], axis=-1).astype(jnp.int32)
+                    tgt_in = jnp.concatenate([bos, prev], axis=1)
                 padding_mask = (
                     jnp.cumsum((tgt_in == self.eos_id).astype(jnp.int32), axis=-1) > 0
                 )

@@ -1,0 +1,164 @@
+"""Fused multi-head attention Pallas kernel (TPU).
+
+Why: XLA cannot fuse matmul -> softmax -> matmul, so unfused attention
+materializes the (B, H, Lq, Lk) float32 logits in HBM twice (write +
+read) per softmax stage.  For the PARSeq ViT encoder (B=128, H=12,
+L=400) that is ~4 GB of HBM round-trips per block — the encoder measured
+47 GB accessed for 9.6 TFLOP of work, i.e. bandwidth-bound at 41% MXU
+utilization.
+
+Shapes in this framework are small enough (L <= 512, Dh <= 128) that the
+entire per-(batch, head) attention fits in VMEM, so no online-softmax
+tiling is needed: one grid program per (batch*head) computes
+QK^T -> masked softmax -> PV entirely on-chip.  float32 logits and
+accumulation; inputs/outputs in the caller's dtype (bf16 in production).
+
+Used by the ViT encoder self-attention, the PARSeq refine-pass cross
+attention, and the RT-DETR AIFI / decoder self-attentions (all unmasked
+or key-padding-only).  Reference semantics: torch
+F.multi_head_attention_forward as used by yomitoku's encoders
+(yomitoku/models/layers/parseq_transformer.py:172,
+ yomitoku/models/layers/rtdetr_hybrid_encoder.py:33).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    logits = (
+        jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    w = jnp.exp(logits - m)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    o_ref[0] = jnp.dot(
+        w.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def fused_attention(q, k, v, scale=None, interpret=False):
+    """Unmasked scaled-dot attention: softmax(q k^T * scale) v.
+
+    q: (B, H, Lq, Dh); k, v: (B, H, Lk, Dh) -> (B, H, Lq, Dh).
+    float32 logits/accumulation regardless of input dtype.  No host- or
+    HBM-side padding: Mosaic pads unaligned blocks inside VMEM for free
+    (an earlier version padded Dh 64->128 and L 400->512 in HBM, which
+    re-introduced ~800 MB/block of bandwidth — the very thing the kernel
+    exists to remove).
+    """
+    B, H, Lq, Dh = q.shape
+    Lk = k.shape[2]
+    if scale is None:
+        scale = Dh ** -0.5
+
+    qp = q.reshape(B * H, Lq, Dh)
+    kp = k.reshape(B * H, Lk, Dh)
+    vp = v.reshape(B * H, Lk, Dh)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B * H, Lq, Dh), q.dtype),
+        grid=(B * H,),
+        in_specs=[
+            pl.BlockSpec((1, Lq, Dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, Dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, Dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Lq, Dh), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out.reshape(B, H, Lq, Dh)
+
+
+def _attn_heads_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads, scale):
+    """One program per batch item; loop heads with static lane slices."""
+    D = q_ref.shape[-1]
+    Dh = D // num_heads
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    for h in range(num_heads):
+        sl = slice(h * Dh, (h + 1) * Dh)
+        logits = (
+            jax.lax.dot_general(
+                q[:, sl], k[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        w = jnp.exp(logits - m)
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        o_ref[0, :, sl] = jnp.dot(
+            w.astype(v_ref.dtype), v_ref[0, :, sl],
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "interpret")
+)
+def fused_attention_heads(q, k, v, num_heads, scale=None, interpret=False):
+    """Attention on head-packed layout: q (B, Lq, H*Dh), k/v (B, Lk, H*Dh)
+    -> (B, Lq, H*Dh).
+
+    One grid program per batch item computes every head (static lane
+    slices inside the kernel), so the caller needs NO (B, L, H, Dh)
+    transpose on either side.  That matters: the transpose+reshape pair
+    around a plain attention poisons downstream layouts ({2,0,1}
+    activations), which made each following LayerNorm fusion ~12x slower
+    than bandwidth.
+    """
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    if scale is None:
+        scale = (D // num_heads) ** -0.5
+
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_heads_kernel, num_heads=num_heads, scale=scale
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, D), q.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Lq, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Lq, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q, k, v)
+    return out
+
+
+def fused_attention_reference(q, k, v, scale=None):
+    """jnp reference with identical semantics (for parity tests / CPU)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * scale
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", w, v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
