@@ -58,3 +58,11 @@ class ParseqDataset:
             h, w = self.cfg.data.img_size
             return np.zeros((0, h, w, 3), np.float32)
         return normalize_crop(np.stack(self.data))
+
+    def as_u8_array(self) -> np.ndarray:
+        """All crops as one (N, H, W, 3) uint8 batch (device-side
+        normalization path: 4x smaller host->device upload)."""
+        if not self.data:
+            h, w = self.cfg.data.img_size
+            return np.zeros((0, h, w, 3), np.uint8)
+        return np.stack(self.data)

@@ -66,7 +66,7 @@ def filter_contained_rectangles_across_categories(category_elements, source, tar
 
 
 def preprocess_rtdetr(img_bgr, img_size):
-    """BGR uint8 -> (1, H, W, 3) float32 RGB in [0,1] at img_size.
+    """BGR uint8 -> (1, H, W, 3) uint8 RGB at img_size.
 
     The reference resizes with PIL bilinear+antialias (T.Resize on a PIL
     image); cv2 INTER_AREA is the closest equivalent for the downscale
@@ -75,7 +75,9 @@ def preprocess_rtdetr(img_bgr, img_size):
     resized = cv2.resize(
         rgb, (img_size[1], img_size[0]), interpolation=cv2.INTER_AREA
     )
-    return (resized.astype(np.float32) / 255.0)[None]
+    # uint8 out; the [0,1] scaling is fused into the device program
+    # (models/rtdetr.py _forward), cutting host->device bytes 4x.
+    return resized[None]
 
 
 class LayoutParser(BaseModule):

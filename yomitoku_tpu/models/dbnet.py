@@ -177,14 +177,37 @@ class DBNet(JaxModel):
         self.dtype = dtype or default_compute_dtype()
         self.core = DBNetCore(hidden_dim=cfg.decoder.hidden_dim, dtype=self.dtype)
         self._fwd = jax.jit(partial(self._forward, self))
+        self._fwd_u8 = jax.jit(partial(self._forward_u8, self))
 
     @staticmethod
     def _forward(self, params, images):
         return self.core.apply(params, images.astype(self.dtype))[..., 0]
 
+    @staticmethod
+    def _forward_u8(self, params, images_u8):
+        """uint8 resized page -> prob map, with ImageNet standardization
+        fused on device.  Channel order note: the reference flips BGR->RGB
+        in preprocess AND standardization flips again
+        (yomitoku/text_detector.py:99-107 + data/functions.py:230), so the
+        net input is BGR with RGB-ordered mean/std — both flips cancel and
+        the u8 image is normalized as-is.  Device-side normalize means the
+        host uploads 4x fewer bytes and skips two float passes."""
+        from ..data.functions import IMAGENET_MEAN, IMAGENET_STD
+
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
+        inv = 1.0 / (jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0)
+        x = (images_u8.astype(jnp.float32) - mean) * inv
+        prob = self.core.apply(params, x.astype(self.dtype))[..., 0]
+        return prob.astype(jnp.float16)  # halves device->host transfer
+
     def forward_binary(self, images: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) standardized float32 -> (B, H, W) prob map."""
         return np.asarray(self._fwd(self.dparams, jnp.asarray(images)))
+
+    def forward_binary_u8(self, images_u8: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) uint8 (resized, BGR) -> (B, H, W) float32 prob map."""
+        out = self._fwd_u8(self.dparams, jnp.asarray(images_u8))
+        return np.asarray(out).astype(np.float32)
 
     def init_params(self, seed: int = 0):
         from .base import on_host_cpu

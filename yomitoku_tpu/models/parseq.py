@@ -204,6 +204,10 @@ class PARSeq(JaxModel):
         B = images.shape[0]
         num_steps = self.max_label_length + 1
         L = num_steps
+        if images.dtype == jnp.uint8:
+            # Device-side ToTensor+Normalize(0.5, 0.5): uint8 crops upload
+            # 4x fewer bytes than pre-normalized float32.
+            images = images.astype(self.dtype) * (1.0 / 127.5) - 1.0
         memory = apply("encode", images.astype(self.dtype))
 
         # True = masked. Causal: query i sees content <= i.

@@ -79,6 +79,9 @@ class RTDETRv2(JaxModel):
 
     @staticmethod
     def _forward(self, params, images):
+        if images.dtype == jnp.uint8:
+            # Device-side [0,1] scaling: uint8 tiles upload 4x fewer bytes.
+            images = images.astype(self.dtype) * (1.0 / 255.0)
         return self.core.apply(params, images.astype(self.dtype))
 
     def forward(self, images: np.ndarray):

@@ -190,7 +190,7 @@ class CellDetector(BaseModule):
             )
             table_imgs.append(
                 {
-                    "array": resized.astype(np.float32) / 255.0,
+                    "array": resized,  # uint8; scaled on device
                     "size": (th, tw),
                     "offset": (x1, y1),
                 }

@@ -120,7 +120,7 @@ class TableStructureRecognizer(BaseModule):
             )
             table_imgs.append(
                 {
-                    "array": (resized.astype(np.float32) / 255.0),
+                    "array": resized,  # uint8; scaled on device
                     "size": (th, tw),
                     "offset": (x1, y1),
                 }

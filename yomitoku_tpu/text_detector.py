@@ -67,14 +67,23 @@ class TextDetector(BaseModule):
         normalized = standardization_image(resized)
         return array_to_nhwc(normalized)
 
+    def preprocess_u8(self, img):
+        """Throughput path: resize the uint8 page on host, leave the float
+        standardization to the device program (DBNet._forward_u8).  The
+        two BGR<->RGB flips of the parity path cancel, so no flip here."""
+        resized = resize_shortest_edge(
+            img, self._cfg.data.shortest_size, self._cfg.data.limit_size
+        )
+        return resized[None, ...]
+
     def postprocess(self, preds, image_size):
         return self.post_processor(preds, image_size)
 
     def __call__(self, img):
         """Detect text quads in a BGR image."""
         ori_h, ori_w = img.shape[:2]
-        tensor = self.preprocess(img)
-        binary = self.model.forward_binary(tensor)  # (1, H, W)
+        tensor = self.preprocess_u8(img)
+        binary = self.model.forward_binary_u8(tensor)  # (1, H, W)
         preds = {"binary": binary}
         quads, scores = self.postprocess(preds, (ori_h, ori_w))
         results = TextDetectorSchema(points=quads, scores=scores)

@@ -25,7 +25,7 @@ from .configs import (
     TextRecognizerPARSeqTinyConfig,
     TextRecognizerPARSeqV2Config,
 )
-from .data.dataset import ParseqDataset, normalize_crop
+from .data.dataset import ParseqDataset
 from .data.functions import resize_with_padding
 from .models.parseq import PARSeq
 from .postprocessor.parseq_tokenizer import ParseqTokenizer as Tokenizer
@@ -140,7 +140,7 @@ class TextRecognizer(BaseModule):
         for i in retry_indices:
             rotated = cv2.rotate(dataset.roi_images[i], cv2.ROTATE_180)
             crops.append(resize_with_padding(rotated, img_size))
-        batch = normalize_crop(np.stack(crops))
+        batch = np.stack(crops)  # uint8; normalized on device
         retry_points = [points[i] for i in retry_indices]
         r_preds, r_scores, r_dirs = self._run_batch_inference(batch, retry_points)
         for j, idx in enumerate(retry_indices):
@@ -156,7 +156,7 @@ class TextRecognizer(BaseModule):
         """Recognize text lines in ``img`` at the given quads (BGR image)."""
         dataset, points = self.preprocess(img, points)
         valid_points = dataset.valid_quads
-        batch = dataset.as_array()
+        batch = dataset.as_u8_array()
         preds, scores, directions = self._run_batch_inference(batch, valid_points)
 
         if self.rec_orientation_fallback:
