@@ -1,0 +1,103 @@
+"""Differential tests: native (C++) DBNet postprocessor vs the cv2/numpy
+path on synthetic probability maps."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from yomitoku_tpu.postprocessor.dbnet_postprocessor import DBnetPostProcessor
+
+PP_KW = dict(
+    min_size=3, thresh=0.3, box_thresh=0.4, max_candidates=300,
+    unclip_ratio=3.5,
+)
+
+
+def _run_both(prob, dest):
+    pp = DBnetPostProcessor(**PP_KW)
+    preds = {"binary": prob[None]}
+    os.environ.pop("YOMITOKU_TPU_NO_NATIVE_POST", None)
+    native = pp(preds, dest)
+    os.environ["YOMITOKU_TPU_NO_NATIVE_POST"] = "1"
+    try:
+        ref = pp(preds, dest)
+    finally:
+        os.environ.pop("YOMITOKU_TPU_NO_NATIVE_POST", None)
+    return native, ref
+
+
+def _match(native, ref, tol_px=3):
+    nq, ns = native
+    rq, rs = ref
+    assert len(nq) == len(rq), (len(nq), len(rq))
+    # order-invariant matching by nearest centroid
+    rcent = [np.mean(np.array(q), axis=0) for q in rq]
+    for q, s in zip(nq, ns):
+        c = np.mean(np.array(q), axis=0)
+        d = [np.linalg.norm(c - rc) for rc in rcent]
+        j = int(np.argmin(d))
+        assert d[j] < tol_px * 2, (c, rcent)
+        np.testing.assert_allclose(
+            np.array(q), np.array(rq[j]), atol=tol_px,
+        )
+        assert abs(s - rs[j]) < 0.05
+
+
+def test_axis_aligned_blobs():
+    prob = np.zeros((160, 224), np.float32)
+    prob[20:40, 30:120] = 0.9
+    prob[60:75, 40:200] = 0.8
+    prob[100:112, 10:90] = 0.85
+    native, ref = _run_both(prob, (320, 448))
+    assert len(native[0]) == 3
+    _match(native, ref)
+
+
+def test_rotated_blob():
+    prob = np.zeros((200, 200), np.float32)
+    quad = np.array([[40, 60], [150, 40], [156, 70], [46, 90]], np.int32)
+    cv2.fillPoly(prob, [quad], 0.9)
+    native, ref = _run_both(prob, (200, 200))
+    assert len(native[0]) == 1
+    _match(native, ref, tol_px=4)
+
+
+def test_below_threshold_filtered():
+    prob = np.zeros((100, 100), np.float32)
+    prob[10:30, 10:60] = 0.35  # above binarize thresh, below box_thresh
+    native, ref = _run_both(prob, (100, 100))
+    assert native[0] == [] and ref[0] == []
+
+
+def test_tiny_blob_filtered():
+    prob = np.zeros((64, 64), np.float32)
+    prob[10:12, 10:12] = 0.9  # smaller than min_size
+    native, ref = _run_both(prob, (64, 64))
+    assert native[0] == [] and ref[0] == []
+
+
+def test_diagonal_touching_merges():
+    # 8-connectivity: diagonally touching pixels form one component (as
+    # cv2.findContours treats them)
+    prob = np.zeros((60, 60), np.float32)
+    prob[10:20, 10:20] = 0.9
+    prob[20:30, 20:30] = 0.9
+    native, _ = _run_both(prob, (60, 60))
+    assert len(native[0]) == 1
+
+
+def test_empty_map():
+    prob = np.zeros((64, 64), np.float32)
+    native, ref = _run_both(prob, (64, 64))
+    assert native[0] == [] and ref[0] == []
+
+
+def test_scaling_to_dest():
+    prob = np.zeros((100, 100), np.float32)
+    prob[20:50, 20:80] = 0.9
+    (quads, _), _ = _run_both(prob, (1000, 1000))
+    q = np.array(quads[0])
+    assert q.max() > 500  # scaled up 10x
+    assert q.min() >= 0 and q.max() <= 1000

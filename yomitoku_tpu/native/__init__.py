@@ -1,7 +1,11 @@
 """Native (C++) components, built on demand with g++ and bound via ctypes.
 
-Currently: the anti-aliased path rasterizer used by the built-in PDF
-renderer (the reference's equivalent functionality lives in pdfium C++).
+Components:
+  * rasterizer.cpp — anti-aliased path rasterizer for the built-in PDF
+    renderer (the reference's equivalent lives in pdfium C++);
+  * dbnet_post.cpp — DBNet probability-map postprocessing: run-length
+    connected components, rotating-calipers min-area rects, analytic
+    unclip (the reference's equivalents live in OpenCV + pyclipper C++).
 """
 
 import ctypes
@@ -13,7 +17,7 @@ from pathlib import Path
 import numpy as np
 
 _HERE = Path(__file__).parent
-_LIB = None
+_LIBS = {}
 
 
 def _build_dir() -> Path:
@@ -28,12 +32,11 @@ def _build_dir() -> Path:
         return Path(tempfile.gettempdir()) / "yomitoku_tpu_native"
 
 
-def _load():
-    global _LIB
-    if _LIB is not None:
-        return _LIB
-    src = _HERE / "rasterizer.cpp"
-    out = _build_dir() / "librasterizer.so"
+def _load_lib(stem: str) -> ctypes.CDLL:
+    if stem in _LIBS:
+        return _LIBS[stem]
+    src = _HERE / f"{stem}.cpp"
+    out = _build_dir() / f"lib{stem}.so"
     if not out.exists() or out.stat().st_mtime < src.stat().st_mtime:
         out.parent.mkdir(parents=True, exist_ok=True)
         subprocess.run(
@@ -42,16 +45,23 @@ def _load():
             capture_output=True,
         )
     lib = ctypes.CDLL(str(out))
-    lib.fill_edges.argtypes = [
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.c_int,
-        ctypes.c_int,
-        ctypes.c_int,
-        ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint8),
-    ]
-    lib.fill_edges.restype = None
-    _LIB = lib
+    _LIBS[stem] = lib
+    return lib
+
+
+def _load():
+    lib = _load_lib("rasterizer")
+    if not getattr(lib, "_sig_done", False):
+        lib.fill_edges.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.fill_edges.restype = None
+        lib._sig_done = True
     return lib
 
 
@@ -76,3 +86,55 @@ def fill_edges(edges: np.ndarray, w: int, h: int, fill_rule: str = "nonzero"):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out
+
+
+def _load_dbnet_post():
+    lib = _load_lib("dbnet_post")
+    if not getattr(lib, "_sig_done", False):
+        lib.dbnet_boxes.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.dbnet_boxes.restype = ctypes.c_int
+        lib._sig_done = True
+    return lib
+
+
+def dbnet_boxes(
+    prob: np.ndarray,
+    thresh: float,
+    box_thresh: float,
+    unclip_ratio: float,
+    min_size: int,
+    max_candidates: int,
+    dest_w: int,
+    dest_h: int,
+):
+    """(H, W) float32 probability map -> (quads list[(4,2) int], scores).
+
+    Native equivalent of DBnetPostProcessor.boxes_from_bitmap (see
+    dbnet_post.cpp for the algorithm and its relationship to the
+    reference's cv2/pyclipper pipeline)."""
+    lib = _load_dbnet_post()
+    prob = np.ascontiguousarray(prob, dtype=np.float32)
+    h, w = prob.shape
+    quads = np.zeros((max_candidates, 4, 2), dtype=np.int16)
+    scores = np.zeros((max_candidates,), dtype=np.float32)
+    n = lib.dbnet_boxes(
+        prob.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(h), int(w),
+        float(thresh), float(box_thresh), float(unclip_ratio),
+        int(min_size), int(max_candidates),
+        int(dest_w), int(dest_h),
+        quads.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return (
+        [q.tolist() for q in quads[:n]],
+        [float(s) for s in scores[:n]],
+    )

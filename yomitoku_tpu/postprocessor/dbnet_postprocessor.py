@@ -13,6 +13,7 @@ polygon-clipping dependency.
 """
 
 import math
+import os
 
 import cv2
 import numpy as np
@@ -39,8 +40,24 @@ class DBnetPostProcessor:
         """preds: {"binary": (1, H, W) float ndarray}; image_size (h, w)
         of the original image."""
         pred = np.asarray(preds["binary"])[0]
-        segmentation = pred > self.thresh
         height, width = image_size
+        if not os.environ.get("YOMITOKU_TPU_NO_NATIVE_POST"):
+            try:
+                from ..native import dbnet_boxes
+
+                return dbnet_boxes(
+                    pred,
+                    self.thresh,
+                    self.box_thresh,
+                    self.unclip_ratio,
+                    self.min_size,
+                    self.max_candidates,
+                    width,
+                    height,
+                )
+            except Exception:  # toolchain missing -> cv2 fallback
+                pass
+        segmentation = pred > self.thresh
         return self.boxes_from_bitmap(pred, segmentation, width, height)
 
     def boxes_from_bitmap(self, pred, bitmap, dest_width, dest_height):
