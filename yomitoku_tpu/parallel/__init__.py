@@ -6,3 +6,4 @@ from .mesh import (  # noqa: F401
     shard_batch,
     shard_params,
 )
+from .runner import DataParallel, dp_pages  # noqa: F401
