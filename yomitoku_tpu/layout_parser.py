@@ -14,7 +14,7 @@ from .configs import LayoutParserRTDETRv2Config, LayoutParserRTDETRv2V2Config
 from .models.rtdetr import RTDETRv2
 from .postprocessor.rtdetr_postprocessor import RTDETRPostProcessor
 from .schemas import LayoutParserSchema
-from .utils.misc import filter_by_flag, is_contained
+from .utils.misc import containment_matrix, filter_by_flag, is_contained
 
 
 class LayoutParserModelCatalog(BaseModelCatalog):
@@ -28,26 +28,25 @@ def filter_contained_rectangles_within_category(category_elements):
     """Drop rectangles contained in another of the same category; mutual
     containment keeps the larger (reference layout_parser.py:28)."""
     for category, elements in category_elements.items():
-        group_box = [element["box"] for element in elements]
-        check_list = [True] * len(group_box)
-        for i, box_i in enumerate(group_box):
-            for j, box_j in enumerate(group_box):
-                if i >= j:
-                    continue
-                ij = is_contained(box_i, box_j)
-                ji = is_contained(box_j, box_i)
-                area_i = (box_i[2] - box_i[0]) * (box_i[3] - box_i[1])
-                area_j = (box_j[2] - box_j[0]) * (box_j[3] - box_j[1])
-                if ij and ji:
-                    if area_i > area_j:
-                        check_list[j] = False
-                    else:
-                        check_list[i] = False
-                elif ij:
-                    check_list[j] = False
-                elif ji:
-                    check_list[i] = False
-        category_elements[category] = filter_by_flag(elements, check_list)
+        boxes = [element["box"] for element in elements]
+        n = len(boxes)
+        if n <= 1:
+            continue
+        # vectorized: inside[i, j] == is_contained(box_i, box_j)
+        inside = containment_matrix(boxes, boxes)
+        b = np.asarray(boxes, np.float64)
+        area = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        upper = np.triu(np.ones((n, n), bool), 1)
+        both = inside & inside.T
+        ij_only = inside & ~inside.T   # j inside i -> drop j (keep outer)
+        ji_only = inside.T & ~inside   # i inside j -> drop i
+        a_gt = area[:, None] > area[None, :]
+        drop_j = upper & ((both & a_gt) | ij_only)
+        drop_i = upper & ((both & ~a_gt) | ji_only)
+        dropped = drop_i.any(axis=1) | drop_j.any(axis=0)
+        category_elements[category] = filter_by_flag(
+            elements, (~dropped).tolist()
+        )
     return category_elements
 
 
@@ -56,11 +55,11 @@ def filter_contained_rectangles_across_categories(category_elements, source, tar
     (reference layout_parser.py:61)."""
     src_boxes = [element["box"] for element in category_elements[source]]
     tgt_boxes = [element["box"] for element in category_elements[target]]
-    check_list = [True] * len(tgt_boxes)
-    for src_box in src_boxes:
-        for j, tgt_box in enumerate(tgt_boxes):
-            if is_contained(src_box, tgt_box):
-                check_list[j] = False
+    if src_boxes and tgt_boxes:
+        dropped = containment_matrix(src_boxes, tgt_boxes).any(axis=0)
+        check_list = (~dropped).tolist()
+    else:
+        check_list = [True] * len(tgt_boxes)
     category_elements[target] = filter_by_flag(category_elements[target], check_list)
     return category_elements
 
