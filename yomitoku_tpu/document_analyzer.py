@@ -155,19 +155,23 @@ def extract_words_within_element(
     them, and join to a text block (reference document_analyzer.py:195)."""
     contained_words = []
     check_list = [False] * len(pred_words)
-    for i, word in enumerate(pred_words):
-        word_box = quad_to_xyxy(word.points)
-        if is_contained(element.box, word_box, threshold=0.5):
-            check_list[i] = True
-            contained_words.append(
-                ParagraphSchema(
-                    box=word_box,
-                    contents=word.content,
-                    direction=word.direction,
-                    order=0,
-                    role=None,
+    if pred_words:
+        from .utils.misc import containment_matrix
+
+        word_boxes = [quad_to_xyxy(w.points) for w in pred_words]
+        inside = containment_matrix([element.box], word_boxes, threshold=0.5)[0]
+        for i, word in enumerate(pred_words):
+            if inside[i]:
+                check_list[i] = True
+                contained_words.append(
+                    ParagraphSchema(
+                        box=word_boxes[i],
+                        contents=word.content,
+                        direction=word.direction,
+                        order=0,
+                        role=None,
+                    )
                 )
-            )
     if len(contained_words) == 0:
         return None, None, check_list
 

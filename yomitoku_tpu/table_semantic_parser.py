@@ -293,26 +293,29 @@ class TableSemanticParser:
         self.merge_same_column_values = False
 
     def aggregate(self, ocr_res, cells, overlap_th=0.2):
-        """Assign each word to its best-overlap cell (reference :471)."""
+        """Assign each word to its best-overlap cell (reference :471),
+        vectorized: one (cells, words) overlap matrix + argmax instead of
+        O(words x cells) scalar ratio calls."""
+        from .utils.misc import overlap_ratio_matrix
+
         cell_words = defaultdict(list)
-        for word in ocr_res.words:
-            word_box = quad_to_xyxy(word.points)
-            best_cell, best_ratio = None, 0
-            for cell in cells:
-                if cell.role == "group":
+        cand = [c for c in cells if c.role != "group"]
+        if ocr_res.words and cand:
+            word_boxes = [quad_to_xyxy(w.points) for w in ocr_res.words]
+            ratios = overlap_ratio_matrix([c.box for c in cand], word_boxes)
+            best = ratios.argmax(axis=0)  # first max == scalar loop's ">"
+            best_ratio = ratios[best, range(len(word_boxes))]
+            for wi, word in enumerate(ocr_res.words):
+                # scalar loop skipped when no cell overlapped (ratio 0)
+                # or the best ratio was under the threshold
+                if best_ratio[wi] < overlap_th or best_ratio[wi] <= 0:
                     continue
-                ratio, _ = calc_overlap_ratio(cell.box, word_box)
-                if ratio > best_ratio:
-                    best_ratio = ratio
-                    best_cell = cell
-            if best_cell is None or best_ratio < overlap_th:
-                continue
-            cell_words[best_cell.id].append(
-                ParagraphSchema(
-                    box=word_box, contents=word.content,
-                    direction=word.direction, order=0, role=None,
+                cell_words[cand[best[wi]].id].append(
+                    ParagraphSchema(
+                        box=word_boxes[wi], contents=word.content,
+                        direction=word.direction, order=0, role=None,
+                    )
                 )
-            )
 
         for cell in cells:
             contained = cell_words.get(cell.id, [])
