@@ -52,9 +52,24 @@ def enable_compilation_cache():
 
 
 def observer(cls, func):
-    """Wrap a callable with wall-clock INFO timing (reference base.py:36)."""
+    """Wrap a callable with wall-clock INFO timing (reference base.py:36).
+
+    When ``YOMITOKU_TPU_PROFILE=<dir>`` is set, each observed call is also
+    captured as a jax.profiler trace (host + device timelines) under
+    ``<dir>/<Module>/``; summarize with ``scripts/xplane_summary.py``."""
 
     def wrapper(*args, **kwargs):
+        import os
+
+        profile_dir = os.environ.get("YOMITOKU_TPU_PROFILE")
+        trace = None
+        if profile_dir:
+            import jax.profiler
+
+            trace = jax.profiler.trace(
+                os.path.join(profile_dir, cls.__name__)
+            )
+            trace.__enter__()
         try:
             start = time.time()
             result = func(*args, **kwargs)
@@ -63,6 +78,9 @@ def observer(cls, func):
         except Exception as e:
             logger.error(f"Error occurred in {cls.__name__} {func.__name__}: {e}")
             raise e
+        finally:
+            if trace is not None:
+                trace.__exit__(None, None, None)
         return result
 
     return wrapper
