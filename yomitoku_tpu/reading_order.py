@@ -179,7 +179,7 @@ def prediction_reading_order(elements, direction, img=None):
             i,
             element.model_dump()
             if hasattr(element, "model_dump")
-            else element.dict(),
+            else element.model_dump(),
         )
         for i, element in enumerate(elements)
     ]

@@ -58,7 +58,7 @@ def rec_visualizer(img, outputs, font_path, font_size=12, font_color=(255, 0, 0)
 
 def layout_visualizer(results, img):
     out = img.copy()
-    results_dict = results.dict()
+    results_dict = results.model_dump()
     for idx, (category, preds) in enumerate(results_dict.items()):
         color = PALETTE[idx % len(PALETTE)]
         for element in preds:
