@@ -106,6 +106,85 @@ def load_reference_reading_order():
     return mod
 
 
+def load_reference_semantic():
+    """Mount the reference's PURE table-semantic stack (grid_parser,
+    kv_parser, the clustering helpers in table_semantic_parser) with the
+    neural-model modules stubbed out (they pull torchvision/timm, absent
+    here).  Returns the synthetic package."""
+    _ensure_omegaconf_stub()
+    base = "/root/reference/src/yomitoku"
+    pkg_name = "ref_sem"
+    if pkg_name in sys.modules:
+        return sys.modules[pkg_name]
+
+    pkg = types.ModuleType(pkg_name)
+    pkg.__path__ = [base]
+    sys.modules[pkg_name] = pkg
+
+    def _sub(name, path):
+        sub = types.ModuleType(f"{pkg_name}.{name}")
+        sub.__path__ = [path]
+        sys.modules[f"{pkg_name}.{name}"] = sub
+        setattr(pkg, name, sub)
+        return sub
+
+    def _load(modname, fpath):
+        spec = importlib.util.spec_from_file_location(
+            f"{pkg_name}.{modname}", fpath
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"{pkg_name}.{modname}"] = mod
+        spec.loader.exec_module(mod)
+        parent, _, leaf = modname.rpartition(".")
+        setattr(sys.modules[f"{pkg_name}.{parent}" if parent else pkg_name],
+                leaf, mod)
+        return mod
+
+    _sub("utils", f"{base}/utils")
+    for m in ("logger", "graph", "misc", "union_find", "visualizer"):
+        _load(f"utils.{m}", f"{base}/utils/{m}.py")
+    _sub("export", f"{base}/export")
+    for m in ("export_csv", "export_html", "export_json", "export_markdown"):
+        _load(f"export.{m}", f"{base}/export/{m}.py")
+    _load("export.__init__", f"{base}/export/__init__.py")
+    # re-point the package module to the loaded __init__
+    sys.modules[f"{pkg_name}.export"] = sys.modules[f"{pkg_name}.export.__init__"]
+    pkg.export = sys.modules[f"{pkg_name}.export"]
+    pkg.export.__path__ = [f"{base}/export"]
+
+    _load("base", f"{base}/base.py")
+    _load("reading_order", f"{base}/reading_order.py")
+    _sub("schemas", f"{base}/schemas")
+    _load("schemas.document_analyzer", f"{base}/schemas/document_analyzer.py")
+    _load("schemas.__init__", f"{base}/schemas/__init__.py")
+    sys.modules[f"{pkg_name}.schemas"] = sys.modules[
+        f"{pkg_name}.schemas.__init__"
+    ]
+    pkg.schemas = sys.modules[f"{pkg_name}.schemas"]
+    pkg.schemas.__path__ = [f"{base}/schemas"]
+    _load("schemas.table_semantic_parser",
+          f"{base}/schemas/table_semantic_parser.py")
+    _load("grid_parser", f"{base}/grid_parser.py")
+    _load("kv_parser", f"{base}/kv_parser.py")
+
+    # stub the neural modules table_semantic_parser imports
+    for name, attrs in (
+        ("layout_parser", {"LayoutParser": object}),
+        ("table_cell_detector", {"CellDetector": object}),
+        ("text_detector", {"TextDetector": object}),
+        ("text_recognizer", {"TextRecognizer": object}),
+        ("ocr", {"OCRSchema": object, "ocr_aggregate": lambda *a, **k: None}),
+    ):
+        stub = types.ModuleType(f"{pkg_name}.{name}")
+        for k, v in attrs.items():
+            setattr(stub, k, v)
+        sys.modules[f"{pkg_name}.{name}"] = stub
+        setattr(pkg, name, stub)
+
+    _load("table_semantic_parser", f"{base}/table_semantic_parser.py")
+    return pkg
+
+
 def build_reference_rtdetr(cfg):
     """Assemble the reference RTDETRv2 (backbone/encoder/decoder attribute
     names match yomitoku/models/rtdetr.py:9 so state_dict prefixes line
