@@ -1,5 +1,7 @@
 """Benchmark each model component on the default platform (TPU under the
-driver) — device-time via block_until_ready.  Prints a JSON dict.
+driver) — device-time via utils.timing.device_time (readback-synced;
+block_until_ready does not synchronize on tunneled platforms).  Prints a
+JSON dict.
 
 Usage: python scripts/bench_components.py [det|rec|layout|all]
 """

@@ -53,7 +53,9 @@ def test_cli_formats(tmp_path, fmt):
     _run([f"{DATA}/test.jpg", "-f", fmt, "-o", str(out), "--lite", "-d", "cpu"])
     files = list(out.glob(f"*.{fmt}"))
     assert files, f"no .{fmt} output written"
-    assert files[0].stat().st_size >= 0
+    if fmt == "json":
+        # always has structure even for an empty page
+        assert files[0].stat().st_size > 0
 
 
 def test_cli_searchable_pdf(tmp_path):

@@ -83,6 +83,7 @@ def observer(cls, func):
                 trace.__exit__(None, None, None)
         return result
 
+    wrapper._is_observer = True
     return wrapper
 
 
@@ -157,7 +158,11 @@ class BaseModule:
 
     def __new__(cls, *args, **kwds):
         logger.info(f"Initialize {cls.__name__}")
-        cls.__call__ = observer(cls, cls.__call__)
+        # Wrap once per class: __new__ runs per INSTANTIATION, and stacking
+        # observers would nest jax.profiler traces (a hard RuntimeError
+        # under YOMITOKU_TPU_PROFILE) and duplicate log lines.
+        if not getattr(cls.__call__, "_is_observer", False):
+            cls.__call__ = observer(cls, cls.__call__)
         return super().__new__(cls)
 
     def load_model(self, name, path_cfg=None, from_pretrained=True):

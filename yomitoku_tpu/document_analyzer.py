@@ -149,16 +149,22 @@ def filter_ruby(contained_words, element_direction, ruby_threshold):
 
 
 def extract_words_within_element(
-    pred_words, element, ignore_ruby=False, ruby_threshold=2.0
+    pred_words, element, ignore_ruby=False, ruby_threshold=2.0,
+    word_boxes=None,
 ):
     """Assign words 0.5-contained in the element, vote direction, order
-    them, and join to a text block (reference document_analyzer.py:195)."""
+    them, and join to a text block (reference document_analyzer.py:195).
+
+    ``word_boxes``: optional precomputed ``quad_to_xyxy`` boxes for
+    ``pred_words`` — callers looping over many elements should compute
+    them once (aggregate() does)."""
     contained_words = []
     check_list = [False] * len(pred_words)
     if pred_words:
         from .utils.misc import containment_matrix
 
-        word_boxes = [quad_to_xyxy(w.points) for w in pred_words]
+        if word_boxes is None:
+            word_boxes = [quad_to_xyxy(w.points) for w in pred_words]
         inside = containment_matrix([element.box], word_boxes, threshold=0.5)[0]
         for i, word in enumerate(pred_words):
             if inside[i]:
@@ -377,6 +383,7 @@ class DocumentAnalyzer:
     def aggregate(self, ocr_res, layout_res):
         paragraphs = []
         check_list = [False] * len(ocr_res.words)
+        word_boxes = [quad_to_xyxy(w.points) for w in ocr_res.words]
         for table in layout_res.tables:
             for cell in table.cells:
                 words, _, flags = extract_words_within_element(
@@ -384,6 +391,7 @@ class DocumentAnalyzer:
                     cell,
                     ignore_ruby=self.ignore_ruby,
                     ruby_threshold=self.ruby_threshold,
+                    word_boxes=word_boxes,
                 )
                 cell.contents = words if words is not None else ""
                 check_list = combine_flags(check_list, flags)
@@ -394,6 +402,7 @@ class DocumentAnalyzer:
                 paragraph,
                 ignore_ruby=self.ignore_ruby,
                 ruby_threshold=self.ruby_threshold,
+                word_boxes=word_boxes,
             )
             if words is None:
                 continue

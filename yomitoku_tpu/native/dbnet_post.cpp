@@ -154,8 +154,7 @@ extern "C" int dbnet_boxes(
   // --- 1. run-length connected components (8-connectivity) ------------
   std::vector<Run> runs;
   runs.reserve(1024);
-  std::vector<int> prev_begin(1, 0);  // run index range of previous row
-  int prev_lo = 0, prev_hi = 0;       // [prev_lo, prev_hi) runs of row-1
+  int prev_lo = 0, prev_hi = 0;  // [prev_lo, prev_hi) runs of row-1
   for (int y = 0; y < h; ++y) {
     const float* row = prob + (size_t)y * w;
     int cur_lo = (int)runs.size();
@@ -185,10 +184,8 @@ extern "C" int dbnet_boxes(
   // --- 2. gather per-component stats ----------------------------------
   const int nr = (int)runs.size();
   std::vector<int> comp_of(nr);
-  std::vector<int> comp_first;  // root run index per component, scan order
   for (int i = 0; i < nr; ++i) {
-    int root = find_root(runs, i);
-    comp_of[i] = root;
+    comp_of[i] = find_root(runs, i);
   }
   // map root -> dense id in order of first appearance
   std::vector<int> dense(nr, -1);

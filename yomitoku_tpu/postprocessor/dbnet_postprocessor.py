@@ -18,6 +18,10 @@ import os
 import cv2
 import numpy as np
 
+from ..utils.logger import set_logger
+
+logger = set_logger(__name__, "INFO")
+
 
 def _order_rect_points(points, sside):
     """cv2.boxPoints order -> [top-left, top-right, bottom-right,
@@ -29,6 +33,24 @@ def _order_rect_points(points, sside):
 
 
 class DBnetPostProcessor:
+    """Probability map -> quads.  Two implementations:
+
+      * native (default): C++ run-length CCL + rotating calipers
+        (native/dbnet_post.cpp).  Box score = mean probability over the
+        component's FOREGROUND pixels.
+      * cv2 fallback (YOMITOKU_TPU_NO_NATIVE_POST=1, or no C++ toolchain):
+        cv2.findContours + minAreaRect; box score = mean over the filled
+        outer-contour polygon, as in the reference.
+
+    The score definitions differ on non-solid blobs (interior pixels below
+    the binarization threshold): the native path excludes them, so a box
+    hovering at box_thresh can be kept by one path and dropped by the
+    other.  For the solid blobs DBNet produces they agree (differential
+    tests in tests/test_native_dbnet_post.py).
+    """
+
+    _native_ok = None  # class-level tri-state: None=untried, False=failed
+
     def __init__(self, min_size, thresh, box_thresh, max_candidates, unclip_ratio):
         self.min_size = min_size
         self.thresh = thresh
@@ -41,11 +63,13 @@ class DBnetPostProcessor:
         of the original image."""
         pred = np.asarray(preds["binary"])[0]
         height, width = image_size
-        if not os.environ.get("YOMITOKU_TPU_NO_NATIVE_POST"):
+        if self._native_ok is not False and not os.environ.get(
+            "YOMITOKU_TPU_NO_NATIVE_POST"
+        ):
             try:
                 from ..native import dbnet_boxes
 
-                return dbnet_boxes(
+                out = dbnet_boxes(
                     pred,
                     self.thresh,
                     self.box_thresh,
@@ -55,8 +79,16 @@ class DBnetPostProcessor:
                     width,
                     height,
                 )
-            except Exception:  # toolchain missing -> cv2 fallback
-                pass
+                DBnetPostProcessor._native_ok = True
+                return out
+            except Exception as e:
+                # Cache the failure: without a C++ toolchain the build
+                # subprocess would otherwise be re-spawned on every page.
+                DBnetPostProcessor._native_ok = False
+                logger.warning(
+                    "native dbnet_post unavailable (%s); using the cv2 "
+                    "fallback for this process", e,
+                )
         segmentation = pred > self.thresh
         return self.boxes_from_bitmap(pred, segmentation, width, height)
 

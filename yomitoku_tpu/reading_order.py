@@ -175,13 +175,7 @@ def prediction_reading_order(elements, direction, img=None):
         return elements
 
     nodes = [
-        Node(
-            i,
-            element.model_dump()
-            if hasattr(element, "model_dump")
-            else element.model_dump(),
-        )
-        for i, element in enumerate(elements)
+        Node(i, element.model_dump()) for i, element in enumerate(elements)
     ]
     if direction == "top2bottom":
         _create_graph_top2bottom(nodes)

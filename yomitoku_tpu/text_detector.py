@@ -70,7 +70,14 @@ class TextDetector(BaseModule):
     def preprocess_u8(self, img):
         """Throughput path: resize the uint8 page on host, leave the float
         standardization to the device program (DBNet._forward_u8).  The
-        two BGR<->RGB flips of the parity path cancel, so no flip here."""
+        two BGR<->RGB flips of the parity path cancel, so no flip here.
+
+        Known deviation from ``preprocess``: the reference resizes AFTER
+        the float32 conversion, so interpolated pixels keep fractions;
+        resizing uint8 rounds them (<=0.5/255 per pixel, measured 0.0045
+        max deviation on the prob map against a 0.3 binarization
+        threshold).  Use ``preprocess`` + ``forward_binary`` for
+        bit-faithful comparisons."""
         resized = resize_shortest_edge(
             img, self._cfg.data.shortest_size, self._cfg.data.limit_size
         )

@@ -2,8 +2,9 @@
 
 Reference parity: yomitoku/utils/misc.py.  These scalar predicates are the
 backbone of the semantic table parsing layer; semantics (thresholds,
-tie-breaking, integer truncation) are preserved exactly.  Batched numpy
-variants for the O(n^2) aggregation paths live in ``geometry_batch.py``.
+tie-breaking, integer truncation) are preserved exactly.  The batched numpy
+variants for the O(n^2) aggregation paths (``overlap_ratio_matrix``,
+``containment_matrix``) live in this module too.
 """
 
 import math
