@@ -1,0 +1,60 @@
+"""Weight store tests: msgpack roundtrip and offline random fallback."""
+
+import numpy as np
+import pytest
+
+from yomitoku_tpu import weights as W
+from yomitoku_tpu.config import structured
+from yomitoku_tpu.configs import TextDetectorDBNetV2_1Config
+from yomitoku_tpu.models.dbnet import DBNet
+
+
+def test_msgpack_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setenv("YOMITOKU_TPU_WEIGHTS", str(tmp_path))
+    m = DBNet(structured(TextDetectorDBNetV2_1Config))
+    params = m.init_params(0)
+    path = tmp_path / "roundtrip.msgpack"
+    W.save_params_msgpack(params, path)
+    loaded = W.load_params_msgpack(params, path)
+    flat_a = {
+        "/".join(map(str, k)): v
+        for k, v in _flatten(params).items()
+    }
+    flat_b = {
+        "/".join(map(str, k)): v
+        for k, v in _flatten(loaded).items()
+    }
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]), np.asarray(flat_b[k]))
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def test_offline_fallback_warns(tmp_path, monkeypatch):
+    import logging
+
+    monkeypatch.setenv("YOMITOKU_TPU_WEIGHTS", str(tmp_path))
+    m = DBNet(structured(TextDetectorDBNetV2_1Config))
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    h = Capture()
+    logging.getLogger("yomitoku_tpu.weights").addHandler(h)
+    try:
+        params = W.load_pretrained_params(m, m.cfg)
+    finally:
+        logging.getLogger("yomitoku_tpu.weights").removeHandler(h)
+    assert params is not None
+    assert any("RANDOM" in r for r in records)
