@@ -130,25 +130,33 @@ def fused_attention_heads(q, k, v, num_heads, scale=None, interpret=False):
     if scale is None:
         scale = (D // num_heads) ** -0.5
 
+    # Mosaic miscompiles some non-8-aligned sublane shapes (observed
+    # internal error at Lq=Lk=101, Dh=96).  Padding the query axis is
+    # semantically free (extra rows attend real keys and are sliced off);
+    # callers must keep Lk 8-aligned (_use_fused_packed gates this).
+    lq_pad = (-Lq) % 8
+    if lq_pad:
+        q = jnp.pad(q, ((0, 0), (0, lq_pad), (0, 0)))
+
     out = pl.pallas_call(
         functools.partial(
             _attn_heads_kernel, num_heads=num_heads, scale=scale
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Lq, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Lq + lq_pad, D), q.dtype),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, Lq, D), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, Lq + lq_pad, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Lk, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Lk, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Lq, D), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, Lq + lq_pad, D), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(q, k, v)
-    return out
+    return out[:, :Lq] if lq_pad else out
 
 
 def fused_attention_reference(q, k, v, scale=None):

@@ -1,0 +1,120 @@
+"""Fused transformer-MLP Pallas kernel: fc1 -> exact GELU -> fc2.
+
+XLA fuses the MLP into one kOutput fusion already, but materializes the
+(N, hidden) activations through HBM and runs at ~60% MXU peak at the
+PARSeq encoder's shapes (measured 4.15 ms per 483 GFLOP block).  This
+kernel keeps the hidden activations in VMEM: the hidden dimension is
+processed in chunks (grid axis k), with a float32 accumulator scratch
+carrying partial fc2 sums across chunks.
+
+    grid = (row_tiles, hidden_chunks)
+    x:  (TILE, D)      per row tile            (revisited per k)
+    w1: (D, CHUNK)     per hidden chunk
+    w2: (CHUNK, D)     per hidden chunk
+    acc(scratch, f32)  += gelu(x @ w1 + b1) @ w2   ; out written at last k
+
+GELU is the exact erf form (torch nn.GELU default — parity with the
+reference's timm ViT, yomitoku/models/layers/parseq_transformer.py:172).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT_HALF = 0.7071067811865476
+
+
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational erf (|err| <= 1.5e-7 — below
+    bf16 resolution).  Mosaic has no erf primitive (NotImplementedError
+    in the TPU lowering), but exp is native."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741
+                                   + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc):
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    h = jax.lax.dot_general(
+        x_ref[:], w1_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:].astype(jnp.float32)
+    g = 0.5 * h * (1.0 + _erf(h * _SQRT_HALF))
+    acc[:] += jax.lax.dot_general(
+        g.astype(x_ref.dtype), w2_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = (acc[:] + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _pick(total, target, align):
+    """Largest divisor of ``total`` that is <= target and % align == 0."""
+    best = None
+    for c in range(align, min(target, total) + 1, align):
+        if total % c == 0:
+            best = c
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_mlp(x, w1, b1, w2, b2, interpret=False):
+    """x: (N, D); w1: (D, H); w2: (H, D) -> (N, D), float32 accumulation,
+    exact-erf GELU between.  Caller flattens batch dims."""
+    N, D = x.shape
+    H = w1.shape[1]
+    tile = _pick(N, 512, 8) or N
+    chunk = _pick(H, 1024, 128) or H
+
+    return pl.pallas_call(
+        _mlp_kernel,
+        out_shape=jax.ShapeDtypeStruct((N, D), x.dtype),
+        grid=(N // tile, H // chunk),
+        in_specs=[
+            pl.BlockSpec((tile, D), lambda n, k: (n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, chunk), lambda n, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda n, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, D), lambda n, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda n, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, D), lambda n, k: (n, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tile, D), jnp.float32)],
+        interpret=interpret,
+    )(x, w1, b1.reshape(1, H), w2, b2.reshape(1, D))
+
+
+def fused_mlp_reference(x, w1, b1, w2, b2):
+    """jnp reference with matching dtype/accumulation semantics."""
+    h = jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1.astype(
+        jnp.float32
+    )
+    g = 0.5 * h * (1.0 + jax.lax.erf(h * _SQRT_HALF))
+    out = jnp.dot(
+        g.astype(x.dtype), w2, preferred_element_type=jnp.float32
+    ) + b2.astype(jnp.float32)
+    return out.astype(x.dtype)
