@@ -64,3 +64,31 @@ def test_custom_scale():
     out = fused_attention(q, k, v, scale=0.5, interpret=True)
     ref = fused_attention_reference(q, k, v, scale=0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_attention_block_matches_reference():
+    # conftest pins CPU + highest matmul precision -> tight tolerance
+    rng = np.random.RandomState(3)
+    B, L, D, H = 2, 48, 96, 3
+    from yomitoku_tpu.ops.pallas.flash_attention import fused_attention_block
+
+    x = jnp.asarray(rng.randn(B, L, D).astype(np.float32))
+    ws = [jnp.asarray((rng.randn(D, D) * 0.1).astype(np.float32)) for _ in range(4)]
+    bs = [jnp.asarray((rng.randn(D) * 0.02).astype(np.float32)) for _ in range(4)]
+
+    q = x @ ws[0] + bs[0]
+    k = x @ ws[1] + bs[1]
+    v = x @ ws[2] + bs[2]
+
+    def split(t):
+        return t.reshape(B, L, H, D // H).transpose(0, 2, 1, 3)
+
+    o = fused_attention_reference(split(q), split(k), split(v))
+    o = np.asarray(o).transpose(0, 2, 1, 3).reshape(B, L, D)
+    ref = o @ np.asarray(ws[3]) + np.asarray(bs[3])
+
+    out = fused_attention_block(
+        x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2], ws[3], bs[3], H,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5, rtol=5e-5)

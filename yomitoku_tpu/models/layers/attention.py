@@ -35,6 +35,26 @@ def _use_fused(q, k, mask) -> bool:
     return Dh <= 128 and 16 <= Lq <= 1024 and Lk <= 1024 and Lk % 8 == 0
 
 
+def _use_fused_block(x, num_heads) -> bool:
+    """Whole-block fused kernel (self-attention only, q is k is v)."""
+    import os
+
+    import jax
+
+    if os.environ.get("YOMITOKU_TPU_NO_FLASH"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    L, D = x.shape[-2], x.shape[-1]
+    # L 8-aligned (Mosaic sublane constraint), weights must fit VMEM
+    return (
+        D // num_heads <= 128
+        and 16 <= L <= 1024
+        and L % 8 == 0
+        and D <= 1024
+    )
+
+
 def _use_fused_packed(query, key, num_heads) -> bool:
     """Head-packed fused kernel eligibility ((B, L, D) layout inputs)."""
     import os
@@ -86,13 +106,23 @@ class MultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        dense = lambda name: nn.Dense(
-            self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        # Raw-param holders with nn.Dense's tree layout ("q_proj/kernel"
+        # etc.) so the fused-block Pallas kernel can consume the arrays
+        # directly; _dense() reproduces nn.Dense(dtype=...) semantics.
+        self.q_proj = _DenseParams(self.embed_dim, self.embed_dim,
+                                   name="q_proj")
+        self.k_proj = _DenseParams(self.embed_dim, self.embed_dim,
+                                   name="k_proj")
+        self.v_proj = _DenseParams(self.embed_dim, self.embed_dim,
+                                   name="v_proj")
+        self.out_proj = _DenseParams(self.embed_dim, self.embed_dim,
+                                     name="out_proj")
+
+    def _dense(self, holder, x):
+        k, b = holder()
+        return jnp.dot(x.astype(self.dtype), k.astype(self.dtype)) + b.astype(
+            self.dtype
         )
-        self.q_proj = dense("q_proj")
-        self.k_proj = dense("k_proj")
-        self.v_proj = dense("v_proj")
-        self.out_proj = dense("out_proj")
 
     def _split(self, x):
         B, L, D = x.shape
@@ -103,18 +133,21 @@ class MultiHeadAttention(nn.Module):
 
     def project_q(self, query):
         """(B, Lq, D) -> (B, H, Lq, Dh)."""
-        return self._split(self.q_proj(query))
+        return self._split(self._dense(self.q_proj, query))
 
     def project_kv(self, key, value):
         """(B, Lk, D) x2 -> ((B, H, Lk, Dh), (B, H, Lk, Dh))."""
-        return self._split(self.k_proj(key)), self._split(self.v_proj(value))
+        return (
+            self._split(self._dense(self.k_proj, key)),
+            self._split(self._dense(self.v_proj, value)),
+        )
 
     def attend(self, q, k, v, mask: Optional[jnp.ndarray] = None):
         """Heads-split inputs; mask broadcastable to (B, H, Lq, Lk)."""
         out = scaled_dot_attention(q, k, v, mask, dtype=self.dtype)
         B, H, Lq, Dh = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, H * Dh).astype(self.dtype)
-        return self.out_proj(out)
+        return self._dense(self.out_proj, out)
 
     # -- fused entry ------------------------------------------------------
 
@@ -129,18 +162,43 @@ class MultiHeadAttention(nn.Module):
         if (
             attn_mask is None
             and key_padding_mask is None
+            and query is key
+            and key is value
+            and _use_fused_block(query, self.num_heads)
+        ):
+            # Whole-block fused kernel: QKV projections + per-head
+            # attention + output projection, one pallas_call.
+            from ...ops.pallas.flash_attention import fused_attention_block
+
+            wq, bq = self.q_proj()
+            wk, bk = self.k_proj()
+            wv, bv = self.v_proj()
+            wo, bo = self.out_proj()
+            dt = self.dtype
+            return fused_attention_block(
+                query.astype(dt),
+                wq.astype(dt), bq.astype(dt),
+                wk.astype(dt), bk.astype(dt),
+                wv.astype(dt), bv.astype(dt),
+                wo.astype(dt), bo.astype(dt),
+                self.num_heads,
+            )
+
+        if (
+            attn_mask is None
+            and key_padding_mask is None
             and _use_fused_packed(query, key, self.num_heads)
         ):
             # Head-packed fused kernel: no (B, L, H, Dh) transposes at all.
             from ...ops.pallas.flash_attention import fused_attention_heads
 
             out = fused_attention_heads(
-                self.q_proj(query),
-                self.k_proj(key),
-                self.v_proj(value),
+                self._dense(self.q_proj, query),
+                self._dense(self.k_proj, key),
+                self._dense(self.v_proj, value),
                 self.num_heads,
             )
-            return self.out_proj(out)
+            return self._dense(self.out_proj, out)
 
         q = self.project_q(query)
         k, v = self.project_kv(key, value)

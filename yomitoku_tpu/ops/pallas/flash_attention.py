@@ -159,6 +159,97 @@ def fused_attention_heads(q, k, v, num_heads, scale=None, interpret=False):
     return out[:, :Lq] if lq_pad else out
 
 
+def _attn_block_kernel(
+    x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    o_ref, *, num_heads, scale,
+):
+    """One grid program per batch item: qkv projections + per-head
+    attention + out projection, all in VMEM."""
+    x = x_ref[0]  # (L, D)
+
+    def proj(w_ref, b_ref):
+        return (
+            jax.lax.dot_general(
+                x, w_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b_ref[:].astype(jnp.float32)
+        ).astype(x.dtype)
+
+    q = proj(wq_ref, bq_ref)
+    k = proj(wk_ref, bk_ref)
+    v = proj(wv_ref, bv_ref)
+
+    D = x.shape[-1]
+    Dh = D // num_heads
+    outs = []
+    for h in range(num_heads):
+        sl = slice(h * Dh, (h + 1) * Dh)
+        logits = (
+            jax.lax.dot_general(
+                q[:, sl].astype(jnp.float32), k[:, sl].astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        w = jnp.exp(logits - m)
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        outs.append(
+            jnp.dot(
+                w.astype(v.dtype), v[:, sl],
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        )
+    attn = jnp.concatenate(outs, axis=1)  # (L, D)
+    o_ref[0] = (
+        jax.lax.dot_general(
+            attn, wo_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bo_ref[:].astype(jnp.float32)
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "interpret")
+)
+def fused_attention_block(
+    x, wq, bq, wk, bk, wv, bv, wo, bo, num_heads, scale=None, interpret=False,
+):
+    """Self-attention block: out = attn(x Wq, x Wk, x Wv) Wo + bo.
+
+    x: (B, L, D); weights (D, D), biases (D,).  One grid program per
+    batch item keeps q/k/v/logits entirely in VMEM — the unfused path
+    round-trips each projection and the attention output through HBM.
+    Caller guarantees L % 8 == 0 (Mosaic sublane constraint)."""
+    B, L, D = x.shape
+    if scale is None:
+        scale = (D // num_heads) ** -0.5
+
+    bs = [b.reshape(1, D) for b in (bq, bk, bv, bo)]
+    w_spec = pl.BlockSpec((D, D), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _attn_block_kernel, num_heads=num_heads, scale=scale
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, L, D), x.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, L, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            w_spec, b_spec, w_spec, b_spec, w_spec, b_spec, w_spec, b_spec,
+        ],
+        out_specs=pl.BlockSpec((1, L, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, wq, bs[0], wk, bs[1], wv, bs[2], wo, bs[3])
+
+
 def fused_attention_reference(q, k, v, scale=None):
     """jnp reference with identical semantics (for parity tests / CPU)."""
     if scale is None:
