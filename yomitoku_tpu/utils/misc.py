@@ -1,10 +1,10 @@
 """Geometry and small host utilities.
 
-Reference parity: yomitoku/utils/misc.py.  These scalar predicates are the
-backbone of the semantic table parsing layer; semantics (thresholds,
-tie-breaking, integer truncation) are preserved exactly.  The batched numpy
-variants for the O(n^2) aggregation paths (``overlap_ratio_matrix``,
-``containment_matrix``) live in this module too.
+Behavioral contract: reference yomitoku/utils/misc.py (pinned by the
+differential fuzz suite).  The heavy pair predicates are implemented once,
+vectorized, in ``utils.adjacency``; this module re-exports the matrix
+forms and provides scalar views plus the overlap/containment matrix
+helpers used by the aggregation paths.
 """
 
 import math
@@ -14,6 +14,8 @@ from collections import deque
 import cv2
 import networkx as nx
 import numpy as np
+
+from .adjacency import bottom_adjacency_matrix, right_adjacency_matrix  # noqa: F401  (re-export)
 
 
 def load_charset(charset_path):
@@ -170,138 +172,31 @@ def point_distance(p, q):
     return math.hypot(p[0] - q[0], p[1] - q[1])
 
 
-def point_to_segment_distance(px, py, ax, ay, bx, by):
-    """Shortest distance from point (px,py) to segment (ax,ay)-(bx,by)."""
-    abx, aby = bx - ax, by - ay
-    denom = abx * abx + aby * aby
-    if denom == 0:
-        return math.hypot(px - ax, py - ay)
-    t = clamp(((px - ax) * abx + (py - ay) * aby) / denom, 0.0, 1.0)
-    return math.hypot(px - (ax + t * abx), py - (ay + t * aby))
+def is_right_adjacent(box_a, box_b, dist_threshold=15, overlap_ratio_th=0.1,
+                      ignore_dist_threshold=10, rule="soft"):
+    """Scalar view of ``adjacency.right_adjacency_matrix`` — is box_b the
+    right-neighbor of box_a?  Rules: "soft" allows 1:1/1:N/N:1/N:M joins,
+    "hard" only 1:1, "nest" only the child-side corner condition."""
+    return bool(
+        right_adjacency_matrix(
+            [box_a], [box_b], dist_threshold=dist_threshold,
+            overlap_ratio_th=overlap_ratio_th,
+            ignore_dist_threshold=ignore_dist_threshold, rule=rule,
+        )[0, 0]
+    )
 
 
-def right_edge_to_left_edge_dist(A, B):
-    """Corner-to-edge distances between A's right edge and B's left edge.
-
-    Returns the four max-paired distances used by the adjacency rules
-    (reference utils/misc.py:224).
-    """
-    ax1, ay1, ax2, ay2 = A
-    bx1, by1, bx2, by2 = B
-    d1 = point_to_segment_distance(ax2, ay1, bx1, by1, bx1, by2)  # A top-right -> B left
-    d2 = point_to_segment_distance(ax2, ay2, bx1, by1, bx1, by2)  # A bot-right -> B left
-    d3 = point_to_segment_distance(bx1, by1, ax2, ay1, ax2, ay2)  # B top-left -> A right
-    d4 = point_to_segment_distance(bx1, by2, ax2, ay1, ax2, ay2)  # B bot-left -> A right
-    return max(d1, d4), max(d2, d3), max(d3, d4), max(d1, d2)
-
-
-def top_edge_to_bottom_edge_dist(A, B):
-    """Corner-to-edge distances between A's bottom edge and B's top edge."""
-    ax1, ay1, ax2, ay2 = A
-    bx1, by1, bx2, by2 = B
-    d1 = point_to_segment_distance(ax1, ay2, bx1, by1, bx2, by1)  # A bot-left -> B top
-    d2 = point_to_segment_distance(ax2, ay2, bx1, by1, bx2, by1)  # A bot-right -> B top
-    d3 = point_to_segment_distance(bx1, by1, ax1, ay2, ax2, ay2)  # B top-left -> A bot
-    d4 = point_to_segment_distance(bx2, by1, ax1, ay2, ax2, ay2)  # B top-right -> A bot
-    return max(d1, d4), max(d2, d3), max(d3, d4), max(d1, d2)
-
-
-def overlap_interval(i1, i2, j1, j2):
-    return max(0.0, min(i2, j2) - max(i1, j1))
-
-
-def gap_interval(interval_a, interval_b):
-    """Shortest gap between two 1-D intervals (0 when they overlap)."""
-    a1, a2 = interval_a
-    b1, b2 = interval_b
-    if b2 < a1:
-        return a1 - b2
-    if a2 < b1:
-        return b1 - a2
-    return 0.0
-
-
-def is_right_adjacent(
-    box_a,
-    box_b,
-    dist_threshold=15,
-    overlap_ratio_th=0.1,
-    ignore_dist_threshold=10,
-    rule="soft",
-):
-    """Is box_b the right-neighbor of box_a? (reference utils/misc.py:299)
-
-    Rules: "soft" allows 1:1/1:N/N:1/N:M joins, "hard" only 1:1, "nest"
-    only the child-side corner condition.
-    """
-    ax1, ay1, ax2, ay2 = box_a
-    bx1, by1, bx2, by2 = box_b
-
-    if bx1 < ax1:  # B must start right of A's left edge
-        return False
-    if overlap_interval(ay1, ay2, by1, by2) < overlap_ratio_th * min(
-        ay2 - ay1, by2 - by1
-    ):
-        return False
-    # Diagonal-touch exclusions.
-    if point_distance((ax2, ay2), (bx1, by1)) < ignore_dist_threshold:
-        return False
-    if point_distance((ax2, ay1), (bx1, by2)) < ignore_dist_threshold:
-        return False
-
-    d1, d2, d3, d4 = right_edge_to_left_edge_dist(box_a, box_b)
-    if rule == "hard":
-        return (
-            point_distance((ax2, ay1), (bx1, by1)) < dist_threshold
-            and point_distance((ax2, ay2), (bx1, by2)) < dist_threshold
-        )
-    if rule == "soft":
-        return min(d1, d2, d3, d4) < dist_threshold
-    if rule == "nest":
-        return d3 < dist_threshold
-    return False
-
-
-def is_bottom_adjacent(
-    box_a,
-    box_b,
-    dist_threshold=15,
-    overlap_ratio_th=0.1,
-    ignore_dist_threshold=10,
-    rule="soft",
-):
-    """Is box_b the bottom-neighbor of box_a? (reference utils/misc.py:356)"""
-    ax1, ay1, ax2, ay2 = box_a
-    bx1, by1, bx2, by2 = box_b
-
-    if by1 < ay1:
-        return False
-    if overlap_interval(ax1, ax2, bx1, bx2) < overlap_ratio_th * min(
-        ax2 - ax1, bx2 - bx1
-    ):
-        return False
-    if point_distance((ax2, ay2), (bx1, by1)) < ignore_dist_threshold:
-        return False
-    if point_distance((ax1, ay2), (bx2, by1)) < ignore_dist_threshold:
-        return False
-
-    d1, d2, d3, d4 = top_edge_to_bottom_edge_dist(box_a, box_b)
-    if rule == "hard":
-        return (
-            point_distance((ax1, ay2), (bx1, by1)) < dist_threshold
-            and point_distance((ax2, ay2), (bx2, by1)) < dist_threshold
-        )
-    if rule == "soft":
-        return min(d1, d2, d3, d4) < dist_threshold
-    if rule == "nest":
-        return d3 < dist_threshold
-    if rule == "child":
-        hard = (
-            point_distance((ax1, ay2), (bx1, by1)) < dist_threshold
-            and point_distance((ax2, ay2), (bx2, by1)) < dist_threshold
-        )
-        return (not hard) and d3 < dist_threshold
-    return False
+def is_bottom_adjacent(box_a, box_b, dist_threshold=15, overlap_ratio_th=0.1,
+                       ignore_dist_threshold=10, rule="soft"):
+    """Scalar view of ``adjacency.bottom_adjacency_matrix`` — is box_b the
+    bottom-neighbor of box_a?"""
+    return bool(
+        bottom_adjacency_matrix(
+            [box_a], [box_b], dist_threshold=dist_threshold,
+            overlap_ratio_th=overlap_ratio_th,
+            ignore_dist_threshold=ignore_dist_threshold, rule=rule,
+        )[0, 0]
+    )
 
 
 def get_line_with_head(dag: nx.DiGraph, head, dir_value: str):
