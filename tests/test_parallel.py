@@ -91,3 +91,103 @@ def test_shard_batch_pads():
     batch = np.ones((3, 4), np.float32)
     sharded, n = shard_batch(mesh, batch)
     assert n == 3 and sharded.shape[0] == 8
+
+
+# ---------------------------------------------------------------------------
+# Pipeline integration: num_devices plumbing through the task modules
+# ---------------------------------------------------------------------------
+
+
+def test_recognizer_dp_parity():
+    """TextRecognizer(num_devices=8) shards crop batches over the mesh and
+    must produce the same strings/scores as the single-device module."""
+    from yomitoku_tpu.text_recognizer import TextRecognizer
+
+    kwargs = dict(model_name="parseq-tiny", from_pretrained=False, device="cpu")
+    solo = TextRecognizer(**kwargs)
+    dp = TextRecognizer(num_devices=8, **kwargs)
+    dp.model.params = solo.model.params  # identical random weights
+
+    assert dp.model._mesh is not None and dp.model._mesh.shape["dp"] == 8
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (200, 400, 3), np.uint8)
+    quads = [
+        [[10, y, ], [390, y], [390, y + 20], [10, y + 20]]
+        for y in range(5, 165, 20)
+    ]
+    quads = [[[q[0][0], q[0][1]], [q[1][0], q[1][1]],
+              [q[2][0], q[2][1]], [q[3][0], q[3][1]]] for q in quads]
+
+    res_solo, _ = solo(img, quads)
+    res_dp, _ = dp(img, quads)
+    assert res_dp.contents == res_solo.contents
+    np.testing.assert_allclose(res_dp.scores, res_solo.scores, atol=1e-5)
+    assert res_dp.directions == res_solo.directions
+
+
+def test_detector_dp_batch_parity():
+    """DBNet with a mesh shards page batches; prob maps must match the
+    single-device forward."""
+    from yomitoku_tpu.config import structured
+    from yomitoku_tpu.configs import TextDetectorDBNetV2_1Config
+    from yomitoku_tpu.models.dbnet import DBNet
+    from yomitoku_tpu.parallel import dp_mesh
+
+    m = DBNet(structured(TextDetectorDBNetV2_1Config))
+    m.params = m.init_params(0)
+    pages = np.random.RandomState(1).randint(
+        0, 255, (8, 64, 96, 3), np.uint8
+    )
+    solo = m.forward_binary_u8(pages)
+    m.use_mesh(dp_mesh(8))
+    sharded = m.forward_binary_u8(pages)
+    # prob maps return float16 — allow one f16 ulp of reduction-order skew
+    np.testing.assert_allclose(sharded, solo, atol=1e-3)
+
+
+def test_rtdetr_dp_batch_parity():
+    """RT-DETR (TSR config) with a mesh shards table-crop batches."""
+    from yomitoku_tpu.config import structured
+    from yomitoku_tpu.configs import TableStructureRecognizerConfig
+    from yomitoku_tpu.models.rtdetr import RTDETRv2
+    from yomitoku_tpu.parallel import dp_mesh
+
+    cfg = structured(TableStructureRecognizerConfig)
+    m = RTDETRv2(cfg)
+    m.params = m.init_params(0)
+    tiles = np.random.RandomState(2).rand(8, 64, 64, 3).astype(np.float32)
+    solo = {k: np.asarray(v) for k, v in m.forward(tiles).items()}
+    m.use_mesh(dp_mesh(8))
+    out = {k: np.asarray(v) for k, v in m.forward(tiles).items()}
+    np.testing.assert_allclose(out["pred_boxes"], solo["pred_boxes"], atol=1e-4)
+    np.testing.assert_allclose(
+        out["pred_logits"], solo["pred_logits"], atol=1e-3
+    )
+
+
+def test_uneven_batch_falls_back_to_single_device():
+    """Batches not divisible by dp run unsharded (no padding surprises)."""
+    from yomitoku_tpu.config import structured
+    from yomitoku_tpu.configs import TextDetectorDBNetV2_1Config
+    from yomitoku_tpu.models.dbnet import DBNet
+    from yomitoku_tpu.parallel import dp_mesh
+
+    m = DBNet(structured(TextDetectorDBNetV2_1Config))
+    m.params = m.init_params(0)
+    m.use_mesh(dp_mesh(8))
+    pages = np.random.RandomState(3).randint(0, 255, (3, 64, 64, 3), np.uint8)
+    out = m.forward_binary_u8(pages)
+    assert out.shape == (3, 64, 64)
+
+
+def test_dp_mesh_gating():
+    from yomitoku_tpu.parallel import dp_mesh
+
+    assert dp_mesh(None) is None
+    assert dp_mesh(1) is None
+    assert dp_mesh(0) is None
+    m = dp_mesh(-1)
+    assert m is not None and m.shape["dp"] == 8
+    assert dp_mesh(4).shape["dp"] == 4
+    assert dp_mesh(99).shape["dp"] == 8  # clamped to available

@@ -210,3 +210,85 @@ def test_scattered_random_cells():
                 "box": [x, y, x + w, y + h],
             })
         _compare(dicts)
+
+
+def _spanned_grid(rng, rows, cols, n_spans):
+    """Lattice with several random row- or col-spans (exercises the 1:N
+    fan-out splitting on every axis)."""
+    cw, ch = 80, 30
+    occupied, spans = set(), []
+    for _ in range(n_spans):
+        horiz = bool(rng.randint(2))
+        if horiz and cols > 2:
+            r = rng.randint(0, rows)
+            c = rng.randint(0, cols - 1)
+            slots = {(r, c), (r, c + 1)}
+        elif rows > 2:
+            r = rng.randint(0, rows - 1)
+            c = rng.randint(0, cols)
+            slots = {(r, c), (r + 1, c)}
+        else:
+            continue
+        if slots & occupied:
+            continue
+        occupied |= slots
+        rs = sorted({s[0] for s in slots})
+        cs = sorted({s[1] for s in slots})
+        spans.append([cs[0] * cw, rs[0] * ch,
+                      (cs[-1] + 1) * cw - 2, (rs[-1] + 1) * ch - 2])
+    dicts = []
+    cid = 0
+    for box in spans:
+        dicts.append({"id": f"c{cid}", "role": "cell",
+                      "contents": f"span{cid}", "box": box})
+        cid += 1
+    for r in range(rows):
+        for c in range(cols):
+            if (r, c) in occupied:
+                continue
+            role = "header" if r == 0 else "cell"
+            dicts.append({
+                "id": f"c{cid}", "role": role, "contents": f"v{r}_{c}",
+                "box": [c * cw, r * ch, (c + 1) * cw - 2, (r + 1) * ch - 2],
+            })
+            cid += 1
+    return dicts
+
+
+def test_multi_span_grids():
+    for seed in range(8):
+        rng = np.random.RandomState(500 + seed)
+        _compare(_spanned_grid(rng, rng.randint(3, 7), rng.randint(3, 7),
+                               rng.randint(1, 4)))
+
+
+def test_grids_with_holes():
+    for seed in range(6):
+        rng = np.random.RandomState(600 + seed)
+        dicts = _grid_table(rng, rng.randint(3, 6), rng.randint(3, 6))
+        # punch random holes (drop cells entirely)
+        keep = [d for d in dicts
+                if rng.rand() > 0.15 or d["role"] == "header"]
+        if len(keep) >= 4:
+            _compare(keep)
+
+
+def test_merge_same_column_values():
+    """merge_same_column_values=True path of the grid parser."""
+    for seed in range(4):
+        rng = np.random.RandomState(700 + seed)
+        dicts = _grid_table(rng, rng.randint(3, 6), rng.randint(3, 6))
+        ours_cells = {c.id: c for c in _mk_cells(dicts, OurCell)}
+        ref_cells = {c.id: c for c in _mk_cells(dicts, RefCell)}
+        o_nodes = ours_tsp._split_nodes_with_role(list(ours_cells.values()))
+        r_nodes = REF.table_semantic_parser._split_nodes_with_role(
+            list(ref_cells.values())
+        )
+        o = ours_grid(ours_cells, o_nodes, True)
+        r = REF.grid_parser.parse_grid_from_bottom_up(ref_cells, r_nodes, True)
+        assert (o is None) == (r is None)
+        if o is None:
+            continue
+        og, ocells, _ = o
+        rg, rcells, _ = r
+        assert _grid_signature([og], ocells) == _grid_signature([rg], rcells)

@@ -102,11 +102,24 @@ def process_single_file(args, analyzer, path, format):
     processed_imgs = []
     dirname = _sanitize_path_component(path.parent.name)
     filename = path.stem
-    for page, img in enumerate(imgs):
-        if (page + 1) not in target_pages:
-            continue
+    # pipeline consecutive pages: one page's host stages overlap the
+    # next page's device programs/transfers.  Chunked so lazy PDF page
+    # iterators stay OOM-safe on huge documents.
+    def _pipelined_pages(chunk=4):
+        window = []
+        for page, img in enumerate(imgs):
+            if (page + 1) not in target_pages:
+                continue
+            window.append((page, img))
+            if len(window) == chunk:
+                for item, out in zip(window, analyzer.batch([i for _, i in window])):
+                    yield item, out
+                window = []
+        for item, out in zip(window, analyzer.batch([i for _, i in window])):
+            yield item, out
+
+    for (page, img), (result, ocr, layout) in _pipelined_pages():
         processed_imgs.append(img)
-        result, ocr, layout = analyzer(img)
 
         if ocr is not None:
             out_path = os.path.join(
@@ -260,6 +273,10 @@ def build_parser():
     parser.add_argument("--rec-orientation-fallback-thresh", type=float,
                         default=0.75)
     parser.add_argument("--ignore_ruby", action="store_true")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="data-parallel over N local TPU chips "
+                             "(-1 = all); model batches shard over a "
+                             "jax.sharding mesh")
     parser.add_argument("--ruby_threshold", type=float, default=1.0)
     return parser
 
@@ -315,6 +332,7 @@ def main():
         configs=configs,
         visualize=args.vis,
         device=args.device,
+        num_devices=args.num_devices,
         ignore_meta=args.ignore_meta,
         reading_order=args.reading_order,
         ignore_ruby=args.ignore_ruby,

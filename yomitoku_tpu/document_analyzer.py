@@ -343,23 +343,23 @@ class DocumentAnalyzer:
         configs=None,
         device="tpu",
         visualize=False,
+        num_devices=None,
         ignore_meta=False,
         reading_order="auto",
         split_text_across_cells=False,
         ignore_ruby=False,
         ruby_threshold=2.0,
     ):
+        common = {"device": device, "visualize": visualize,
+                  "num_devices": num_devices}
         default_configs = {
             "ocr": {
-                "text_detector": {"device": device, "visualize": visualize},
-                "text_recognizer": {"device": device, "visualize": visualize},
+                "text_detector": dict(common),
+                "text_recognizer": dict(common),
             },
             "layout_analyzer": {
-                "layout_parser": {"device": device, "visualize": visualize},
-                "table_structure_recognizer": {
-                    "device": device,
-                    "visualize": visualize,
-                },
+                "layout_parser": dict(common),
+                "table_structure_recognizer": dict(common),
             },
         }
         self.reading_order = reading_order
@@ -456,7 +456,7 @@ class DocumentAnalyzer:
             )
         else:
             reading_order = self.reading_order
-        prediction_reading_order(elements, reading_order, self.img)
+        prediction_reading_order(elements, reading_order)
 
         for element in elements:
             element.order += len(headers)
@@ -510,3 +510,29 @@ class DocumentAnalyzer:
 
             layout = reading_order_visualizer(layout, results)
         return results, ocr, layout
+
+    def batch(self, imgs, max_in_flight=2):
+        """Pipelined multi-page analysis: up to ``max_in_flight`` pages
+        run concurrently so one page's host stages (contours, crops,
+        tokenizer, aggregation) overlap another page's device programs
+        and transfers.  The jitted programs are shared (same compiled
+        executables); XLA queues their dispatches FIFO.
+
+        Returns the list of (DocumentAnalyzerSchema, ocr_vis, layout_vis)
+        in input order.  No multi-device requirement — this hides
+        host<->device latency even on a single chip; combine with
+        ``num_devices`` to also shard the batches.
+        """
+        if not imgs:
+            return []
+
+        def _one(img):
+            results, ocr, layout = asyncio.run(self.run(img))
+            if self.visualize:
+                from .utils.visualizer import reading_order_visualizer
+
+                layout = reading_order_visualizer(layout, results)
+            return results, ocr, layout
+
+        with ThreadPoolExecutor(max_workers=max_in_flight) as executor:
+            return list(executor.map(_one, imgs))

@@ -1,15 +1,16 @@
 """Prompt builder for LLM-based structured field extraction.
 
-Reference parity: yomitoku/extractor/prompt.py — strict-JSON system
-contract + user message sections: paragraphs, per-table kv items and grids
-with [cell_ids], unassigned cells, schema, response format.
+The emitted text is a behavioral contract shared with the reference
+(yomitoku/extractor/prompt.py): the strict-JSON system prompt and a user
+message with Paragraphs / Tables / Extraction Schema / Response Format
+sections, where every piece of content carries its [cell_id,...] so the
+LLM can cite sources.  The builder here renders those sections through a
+small section registry; each renderer yields lines.
 """
 
 import json
-from collections import OrderedDict
 from typing import Dict, List, Optional
 
-from ..utils.misc import quad_to_xyxy
 from .schema import ExtractionSchema
 
 SYSTEM_PROMPT = """\
@@ -35,171 +36,141 @@ CRITICAL RULES:
 """
 
 
-def _safe_contents(table, cell_id: str) -> str:
+def _flat(text) -> str:
+    return (text or "").replace("\n", " ")
+
+
+def _cell_text(table, cell_id: str) -> str:
     cell = table.cells.get(cell_id)
-    if cell is None:
-        return ""
-    return (cell.contents or "").replace("\n", " ")
+    return _flat(cell.contents) if cell is not None else ""
 
 
-def _build_paragraphs_section(semantic_info) -> str:
-    lines = []
+def _paragraph_lines(semantic_info, _schema):
     for i, p in enumerate(semantic_info.paragraphs):
-        pid = p.id if p.id else f"p{i}"
-        contents = (p.contents or "").replace("\n", " ")
-        lines.append(
-            f"  {pid}: contents={contents!r}, role={(p.role or '')!r}, "
-            f"box={list(p.box)}"
+        pid = p.id or f"p{i}"
+        yield (
+            f"  {pid}: contents={_flat(p.contents)!r}, "
+            f"role={(p.role or '')!r}, box={list(p.box)}"
         )
-    return "\n".join(lines)
 
 
-def _merge_row_by_header(row, col_header_texts, col_header_ids, table, referenced_ids):
-    """Merge columns sharing the same header text within a row."""
-    merged = OrderedDict()
-    for col_idx, cid in enumerate(row):
-        header_text = (
-            col_header_texts[col_idx] if col_idx < len(col_header_texts) else "?"
-        )
-        h_ids = col_header_ids[col_idx] if col_idx < len(col_header_ids) else []
-        if header_text not in merged:
-            merged[header_text] = {
-                "h_ids": list(h_ids), "val_texts": [], "val_ids": [],
-            }
-        else:
-            for hid in h_ids:
-                if hid not in merged[header_text]["h_ids"]:
-                    merged[header_text]["h_ids"].append(hid)
-        if cid is not None:
-            merged[header_text]["val_texts"].append(_safe_contents(table, cid))
-            merged[header_text]["val_ids"].append(cid)
-            referenced_ids.add(cid)
-    return [
-        (ht, e["h_ids"], e["val_texts"], e["val_ids"]) for ht, e in merged.items()
-    ]
+def _kv_lines(table, cited):
+    yield "KV Items:"
+    for kv in table.kv_items:
+        key_ids = kv.key if isinstance(kv.key, list) else [kv.key]
+        cited.update(key_ids)
+        cited.add(kv.value)
+        key_text = "".join(_cell_text(table, k) for k in key_ids)
+        ids = ",".join(list(key_ids) + [kv.value])
+        yield f"  - {key_text}: {_cell_text(table, kv.value)} [{ids}]"
 
 
-def _build_tables_section(tables, table_id_filter: Optional[str] = None) -> str:
-    sections = []
-    for table in tables:
-        if table_id_filter and table.id != table_id_filter:
-            continue
-        parts = [f"--- Table {table.id} (style={table.style}) ---"]
-        referenced_ids = set()
-
-        if table.kv_items:
-            parts.append("KV Items:")
-            for kv in table.kv_items:
-                key_ids = kv.key if isinstance(kv.key, list) else [kv.key]
-                key_str = "".join(_safe_contents(table, kid) for kid in key_ids)
-                referenced_ids.update(key_ids)
-                val_text = _safe_contents(table, kv.value)
-                referenced_ids.add(kv.value)
-                id_list = ",".join(list(key_ids) + [kv.value])
-                parts.append(f"  - {key_str}: {val_text} [{id_list}]")
-
-        for grid in table.grids:
-            parts.append(f"Grid {grid.id or 'g?'}:")
-            col_header_texts, col_header_ids = [], []
-            for col_ids in grid.col_headers:
-                col_header_texts.append(
-                    "".join(_safe_contents(table, cid) for cid in col_ids)
-                )
-                col_header_ids.append(list(col_ids))
-                referenced_ids.update(col_ids)
-            for row_idx, row in enumerate(grid.data):
-                merged = _merge_row_by_header(
-                    row, col_header_texts, col_header_ids, table, referenced_ids
-                )
-                row_parts = [
-                    f"{ht}: {''.join(vts)} [{','.join(vids)}]"
-                    for ht, _hids, vts, vids in merged
-                ]
-                parts.append(f"  Row {row_idx}: {' | '.join(row_parts)}")
-
-        unassigned = [
-            f"  {cell_id}: contents={(cell.contents or '').replace(chr(10), ' ')!r}, "
-            f"role={cell.role!r}"
-            for cell_id, cell in table.cells.items()
-            if cell.role != "group" and cell_id not in referenced_ids
+def _grid_lines(table, grid, cited):
+    yield f"Grid {grid.id or 'g?'}:"
+    headers = []
+    for col_ids in grid.col_headers:
+        headers.append("".join(_cell_text(table, c) for c in col_ids))
+        cited.update(col_ids)
+    for row_idx, row in enumerate(grid.data):
+        # fold columns sharing a header text into one entry per row
+        groups: Dict[str, list] = {}
+        for col_idx, cid in enumerate(row):
+            title = headers[col_idx] if col_idx < len(headers) else "?"
+            slot = groups.setdefault(title, [])
+            if cid is not None:
+                slot.append(cid)
+                cited.add(cid)
+        cols = [
+            f"{title}: {''.join(_cell_text(table, c) for c in ids)}"
+            f" [{','.join(ids)}]"
+            for title, ids in groups.items()
         ]
-        if unassigned:
-            parts.append("Unassigned Cells:")
-            parts.extend(unassigned)
-        sections.append("\n".join(parts))
-    return "\n\n".join(sections)
+        yield f"  Row {row_idx}: {' | '.join(cols)}"
 
 
-def _build_words_section(semantic_info) -> str:
-    lines = []
-    for i, w in enumerate(semantic_info.words):
-        content = (w.content or "").replace("\n", " ")
-        lines.append(
-            f"  w{i}: content={content!r}, box={quad_to_xyxy(w.points)}"
-        )
-    return "\n".join(lines)
+def _table_lines(semantic_info, _schema, table_id: Optional[str] = None):
+    first = True
+    for table in semantic_info.tables:
+        if table_id and table.id != table_id:
+            continue
+        if not first:
+            yield ""
+        first = False
+        yield f"--- Table {table.id} (style={table.style}) ---"
+        cited = set()
+        if table.kv_items:
+            yield from _kv_lines(table, cited)
+        for grid in table.grids:
+            yield from _grid_lines(table, grid, cited)
+        orphans = [
+            f"  {cid}: contents={_flat(cell.contents)!r}, role={cell.role!r}"
+            for cid, cell in table.cells.items()
+            if cell.role != "group" and cid not in cited
+        ]
+        if orphans:
+            yield "Unassigned Cells:"
+            yield from orphans
 
 
-def _build_schema_section(schema: ExtractionSchema) -> str:
-    lines = ["Fields to extract:"]
+def _schema_lines(_semantic_info, schema: ExtractionSchema):
+    yield "Fields to extract:"
     for field in schema.fields:
         desc = field.description or field.name
         if field.structure == "table":
-            col_info = ""
+            cols = ""
             if field.columns:
-                cols = [f"{c.name}(type={c.type})" for c in field.columns]
-                col_info = f", columns=[{', '.join(cols)}]"
-            lines.append(f"  - {field.name}: {desc} (structure=table{col_info})")
+                cols = ", columns=[{}]".format(
+                    ", ".join(f"{c.name}(type={c.type})" for c in field.columns)
+                )
+            yield f"  - {field.name}: {desc} (structure=table{cols})"
         else:
-            lines.append(
-                f"  - {field.name}: {desc} (structure=kv, type={field.type})"
-            )
-    return "\n".join(lines)
+            yield f"  - {field.name}: {desc} (structure=kv, type={field.type})"
 
 
-def _build_response_format(schema: ExtractionSchema) -> str:
-    results_example = []
-    for field in schema.fields:
-        if field.structure == "table" and field.columns:
-            row_example = {
-                col.name: {"value": "...", "cell_ids": ["c0"]}
-                for col in field.columns
-            }
-            entry = {
-                "name": field.name, "value": [row_example], "raw_text": "",
-                "cell_ids": [], "confidence": "high", "source": "grid",
-            }
-        else:
-            entry = {
-                "name": field.name, "value": "extracted text here",
-                "raw_text": "original text here", "cell_ids": ["c0"],
-                "confidence": "high", "source": "kv",
-            }
-        results_example.append(entry)
-    return (
+def _example_entry(field):
+    if field.structure == "table" and field.columns:
+        return {
+            "name": field.name,
+            "value": [
+                {c.name: {"value": "...", "cell_ids": ["c0"]} for c in field.columns}
+            ],
+            "raw_text": "",
+            "cell_ids": [],
+            "confidence": "high",
+            "source": "grid",
+        }
+    return {
+        "name": field.name,
+        "value": "extracted text here",
+        "raw_text": "original text here",
+        "cell_ids": ["c0"],
+        "confidence": "high",
+        "source": "kv",
+    }
+
+
+def _format_lines(_semantic_info, schema: ExtractionSchema):
+    example = {"results": [_example_entry(f) for f in schema.fields]}
+    yield (
         "You MUST return JSON in exactly this structure "
         "(one entry per field, same order as schema):\n"
-        + json.dumps({"results": results_example}, ensure_ascii=False, indent=2)
+        + json.dumps(example, ensure_ascii=False, indent=2)
     )
 
 
 def build_messages(
     semantic_info, schema: ExtractionSchema, table_id: Optional[str] = None
 ) -> List[Dict[str, str]]:
-    user_content = f"""\
-## Paragraphs
-{_build_paragraphs_section(semantic_info)}
-
-## Tables
-{_build_tables_section(semantic_info.tables, table_id)}
-
-## Extraction Schema
-{_build_schema_section(schema)}
-
-## Response Format
-{_build_response_format(schema)}
-"""
+    sections = [
+        ("Paragraphs", _paragraph_lines(semantic_info, schema)),
+        ("Tables", _table_lines(semantic_info, schema, table_id)),
+        ("Extraction Schema", _schema_lines(semantic_info, schema)),
+        ("Response Format", _format_lines(semantic_info, schema)),
+    ]
+    body = "\n\n".join(
+        f"## {title}\n" + "\n".join(lines) for title, lines in sections
+    )
     return [
         {"role": "system", "content": SYSTEM_PROMPT},
-        {"role": "user", "content": user_content},
+        {"role": "user", "content": body + "\n"},
     ]

@@ -1,510 +1,385 @@
 """Grid parsing: reconstruct a 2-D table grid from detected cell boxes.
 
-Reference parity: yomitoku/grid_parser.py — build an adjacency DAG
-(R/L/D/U edges, soft rule, 20px threshold / 0.25 overlap), normalize 1:N
-edges by splitting cell bboxes along their neighbors (unit-cell
-expansion), BFS rows/columns into a cell-id matrix, derive spans/indices,
-header rows, column headers, and optional same-column value merging.
+Behavioral contract: reference yomitoku/grid_parser.py, pinned by the
+differential fuzz in tests/test_semantic_differential.py and the golden
+JSON cases in tests/test_table_semantic_from_json.py.
+
+Pipeline:
+
+1. **lattice** — a digraph over cell/empty/header nodes whose edges are
+   the soft-rule adjacency relations (R/L and D/U), computed as two
+   vectorized (n, n) matrices in ``utils.adjacency`` instead of O(n^2)
+   scalar predicate calls;
+2. **unitization** — any node with multiple out-edges in one direction
+   is replaced by a stack of bbox slices, one per neighbor, so every
+   lattice line becomes a 1:1 chain.  One axis-parametrized splitter
+   handles all four directions (the fan-out axis, chain direction, and
+   re-attachment rule are table-driven);
+3. **tracing** — row lines (R-chains from in-degree-0 heads) are
+   intersected with column lines (D-chains) to produce the cell-id
+   matrix; spans and indices fall out of each id's extent in the matrix;
+4. **headers** — rows whose cells are all header/empty mark the header
+   band; per-column header stacks are collected from that band, and
+   optionally columns repeating the same terminal header are merged.
 """
 
 from collections import deque
 from itertools import count
-from typing import List, Tuple
 
 import networkx as nx
+import numpy as np
 
 from .schemas.table_semantic_parser import TableGridSchema
+from .utils.adjacency import bottom_adjacency_matrix, right_adjacency_matrix
 from .utils.misc import get_line_with_head, is_bottom_adjacent, is_right_adjacent
 from .utils.union_find import UnionFind
-
-BBox = Tuple[float, float, float, float]
 
 _SOFT = dict(rule="soft", dist_threshold=20, overlap_ratio_th=0.25)
 _SOFT_IGN = dict(
     rule="soft", dist_threshold=20, ignore_dist_threshold=10, overlap_ratio_th=0.25
 )
 
+# Per fan-out direction: the reverse edge label, the bbox coordinate the
+# split runs along, the chain labels linking consecutive slices, and the
+# cross labels re-attaching the slice stack's ends to the orthogonal
+# neighbors of the original node.
+_REV = {"R": "L", "L": "R", "D": "U", "U": "D"}
+_SPLIT_AXIS = {"R": 1, "L": 1, "D": 0, "U": 0}
+_CHAIN = {"R": ("D", "U"), "L": ("D", "U"), "D": ("R", "L"), "U": ("R", "L")}
 
-def _get_grid_dag(nodes):
-    """Adjacency DAG over cell/empty/header nodes (reference :17)."""
-    dag = nx.DiGraph()
+
+def _lattice(nodes):
+    """Adjacency digraph over the cluster's cells (reference _get_grid_dag)."""
     cells = nodes["cell"] + nodes["empty"] + nodes["header"]
+    dag = nx.DiGraph()
     for cell in cells:
         dag.add_node(cell.id, bbox=cell.box, role=cell.role, contents=cell.contents)
-    for cell1 in cells:
-        for cell2 in cells:
-            if cell1.id == cell2.id:
+    boxes = [c.box for c in cells]
+    down = bottom_adjacency_matrix(boxes, boxes, **_SOFT)
+    right = right_adjacency_matrix(boxes, boxes, **_SOFT)
+    for i, a in enumerate(cells):
+        for j, b in enumerate(cells):
+            if a.id == b.id:
                 continue
-            if is_bottom_adjacent(cell1.box, cell2.box, **_SOFT):
-                dag.add_edge(cell1.id, cell2.id, dir="D")
-                dag.add_edge(cell2.id, cell1.id, dir="U")
-            if is_right_adjacent(cell1.box, cell2.box, **_SOFT):
-                dag.add_edge(cell1.id, cell2.id, dir="R")
-                dag.add_edge(cell2.id, cell1.id, dir="L")
+            if down[i, j]:
+                dag.add_edge(a.id, b.id, dir="D")
+                dag.add_edge(b.id, a.id, dir="U")
+            if right[i, j]:
+                dag.add_edge(a.id, b.id, dir="R")
+                dag.add_edge(b.id, a.id, dir="L")
     return dag
 
 
-def _split_intervals(lo, hi, intervals):
-    """Clip neighbor intervals to [lo, hi] and repair them into a
-    contiguous ordered partition (reference :88-111 / :149-171)."""
-    fixed = []
-    cur = lo
-    for a, b in intervals:
-        a = max(a, cur)
-        b = max(b, a)
-        fixed.append([a, b])
-        cur = b
-    if fixed:
-        fixed[-1][1] = hi
-    for i in range(len(fixed)):
-        a, b = fixed[i]
-        if b - a <= 1e-3:
-            if i + 1 < len(fixed) and fixed[i + 1][1] - fixed[i + 1][0] > 2e-3:
-                take = (fixed[i + 1][1] - fixed[i + 1][0]) * 0.1
-                fixed[i][1] = fixed[i][0] + take
-                fixed[i + 1][0] = fixed[i][1]
-    return fixed
+def _partition_span(lo, hi, windows):
+    """Repair clipped neighbor windows into a contiguous ordered
+    partition of [lo, hi]; zero-width slots borrow 10% of a wide right
+    neighbor."""
+    bounds = []
+    cursor = lo
+    for a, b in windows:
+        a = max(a, cursor)
+        bounds.append([a, max(b, a)])
+        cursor = bounds[-1][1]
+    if bounds:
+        bounds[-1][1] = hi
+    for i in range(len(bounds)):
+        a, b = bounds[i]
+        if b - a <= 1e-3 and i + 1 < len(bounds):
+            nxt = bounds[i + 1]
+            if nxt[1] - nxt[0] > 2e-3:
+                cut = a + (nxt[1] - nxt[0]) * 0.1
+                bounds[i][1] = cut
+                nxt[0] = cut
+    return bounds
 
 
-def split_bbox_by_right_neighbors_exact(G, u, right_nodes, bbox_key="bbox"):
-    """Split u's bbox vertically along its right neighbors' y-ranges
-    (reference :57)."""
-    ux1, uy1, ux2, uy2 = G.nodes[u][bbox_key]
-    if not right_nodes:
-        return [(ux1, uy1, ux2, uy2)]
-    rights = sorted(
-        right_nodes,
-        key=lambda n: (G.nodes[n][bbox_key][1] + G.nodes[n][bbox_key][3]) / 2.0,
+def _slice_bbox(G, u, neighbors, axis):
+    """Slice u's bbox along ``axis`` (0=x, 1=y) into one window per
+    neighbor, windows ordered by neighbor center."""
+    bb = G.nodes[u]["bbox"]
+    lo, hi = bb[axis], bb[axis + 2]
+    ordered = sorted(
+        neighbors,
+        key=lambda n: (G.nodes[n]["bbox"][axis] + G.nodes[n]["bbox"][axis + 2]) / 2.0,
     )
-    intervals = []
-    for n in rights:
-        _, ry1, _, ry2 = G.nodes[n][bbox_key]
-        intervals.append((max(uy1, ry1), min(uy2, ry2)))
-    return [(ux1, a, ux2, b) for a, b in _split_intervals(uy1, uy2, intervals)]
+    windows = [
+        (max(lo, G.nodes[n]["bbox"][axis]), min(hi, G.nodes[n]["bbox"][axis + 2]))
+        for n in ordered
+    ]
+    slices = []
+    for a, b in _partition_span(lo, hi, windows):
+        piece = list(bb)
+        piece[axis], piece[axis + 2] = a, b
+        slices.append(tuple(piece))
+    return slices
 
 
-def split_bbox_by_down_neighbors_exact_x(G, u, down_nodes, bbox_key="bbox"):
-    """Split u's bbox horizontally along its down neighbors' x-ranges
-    (reference :119)."""
-    ux1, uy1, ux2, uy2 = G.nodes[u][bbox_key]
-    if not down_nodes:
-        return [(ux1, uy1, ux2, uy2)]
-    downs = sorted(
-        down_nodes,
-        key=lambda n: (G.nodes[n][bbox_key][0] + G.nodes[n][bbox_key][2]) / 2.0,
-    )
-    intervals = []
-    for n in downs:
-        dx1, _, dx2, _ = G.nodes[n][bbox_key]
-        intervals.append((max(ux1, dx1), min(ux2, dx2)))
-    return [(a, uy1, b, uy2) for a, b in _split_intervals(ux1, ux2, intervals)]
+def _feeders(G, u, out_dir):
+    """Nodes whose ``out_dir`` edge feeds into u — these must be re-aimed
+    at the matching slice after a split.  (The U direction scans D
+    successors, preserving the reference's asymmetry.)"""
+    if out_dir == "U":
+        return [v for v in G.successors(u) if G[u][v].get("dir") == "D"]
+    return [p for p in G.predecessors(u) if G[p][u].get("dir") == out_dir]
 
 
-def normalize_row_with_out_edges(
-    dag, head, dir_key="dir", out_edge_type="R", in_edge_type="L"
-):
-    """Split nodes with multiple horizontal out-edges into 1:1 duplicates
-    (reference :177)."""
+def _feeder_matches(G, bwd, dup, out_dir):
+    a, b = G.nodes[bwd]["bbox"], G.nodes[dup]["bbox"]
+    if out_dir == "R":
+        return is_right_adjacent(a, b, **_SOFT_IGN)
+    if out_dir == "L":
+        return is_right_adjacent(b, a, **_SOFT_IGN)
+    if out_dir == "D":
+        return is_bottom_adjacent(a, b, **_SOFT_IGN)
+    return is_bottom_adjacent(b, a, **_SOFT_IGN)
+
+
+def _fanout_split(dag, head, out_dir):
+    """Walk ``out_dir`` lines from ``head``, replacing every node with
+    >1 out-edge by a chained stack of bbox slices (1:N -> N x 1:1)."""
     G = dag.copy()
+    in_dir = _REV[out_dir]
+    axis = _SPLIT_AXIS[out_dir]
+    chain_fwd, chain_bwd = _CHAIN[out_dir]
+    fresh = count(1)
     queue = deque([head])
-    dup_counter = count(1)
 
     while queue:
         u = queue.popleft()
         if u not in G.nodes:
             continue
-        outs_fwd = [v for v in G.successors(u) if G[u][v].get(dir_key) == out_edge_type]
-
-        if out_edge_type == "R":
-            outs_bwd = [p for p in G.predecessors(u) if G[p][u].get(dir_key) == "R"]
-
-            def ok_adj(bwd, dup):
-                return is_right_adjacent(
-                    G.nodes[bwd]["bbox"], G.nodes[dup]["bbox"], **_SOFT_IGN
-                )
-        elif out_edge_type == "L":
-            outs_bwd = [p for p in G.predecessors(u) if G[p][u].get(dir_key) == "L"]
-
-            def ok_adj(bwd, dup):
-                return is_right_adjacent(
-                    G.nodes[dup]["bbox"], G.nodes[bwd]["bbox"], **_SOFT_IGN
-                )
-        else:
-            outs_bwd = []
-
-            def ok_adj(bwd, dup):
-                return False
-
-        up_cells = [p for p in G.predecessors(u) if G[p][u].get(dir_key) == "D"]
-        down_cells = [v for v in G.successors(u) if G[u][v].get(dir_key) == "D"]
-
-        if len(outs_fwd) > 1:
-            seg_bboxes = split_bbox_by_right_neighbors_exact(G, u, outs_fwd)
-            seg_bboxes = sorted(seg_bboxes, key=lambda box: box[1])
-            outs_fwd = sorted(outs_fwd, key=lambda n: G.nodes[n]["bbox"][1])
-
-            base_attr = dict(G.nodes[u])
-            dups = []
-            for bb in seg_bboxes:
-                nu = f"{u}__dup{next(dup_counter)}"
-                attr = dict(base_attr)
-                attr["bbox"] = bb
-                G.add_node(nu, **attr)
-                dups.append(nu)
-
-            for out, dup in zip(outs_fwd, dups):
-                G.add_edge(dup, out, dir=out_edge_type)
-                G.add_edge(out, dup, dir=in_edge_type)
-            for p in up_cells:
-                G.add_edge(dups[0], p, dir="U")
-                G.add_edge(p, dups[0], dir="D")
-            for p in down_cells:
-                G.add_edge(dups[-1], p, dir="D")
-                G.add_edge(p, dups[-1], dir="U")
-            for a, b in zip(dups, dups[1:]):
-                G.add_edge(a, b, dir="D")
-                G.add_edge(b, a, dir="U")
-            for bwd in outs_bwd:
-                for dup in dups:
-                    if ok_adj(bwd, dup):
-                        G.add_edge(bwd, dup, dir=out_edge_type)
-                        G.add_edge(dup, bwd, dir=in_edge_type)
-                        queue.append(bwd)
-            G.remove_node(u)
-            queue.extend(dups)
-        else:
-            queue.extend(outs_fwd)
-    return G
-
-
-def normalize_col_with_out_edges(
-    dag, head, dir_key="dir", out_edge_type="D", in_edge_type="U"
-):
-    """Split nodes with multiple vertical out-edges into 1:1 duplicates
-    (reference :308)."""
-    G = dag.copy()
-    queue = deque([head])
-    dup_counter = count(1)
-
-    while queue:
-        u = queue.popleft()
-        if u not in G.nodes:
+        outs = [v for v in G.successors(u) if G[u][v].get("dir") == out_dir]
+        if len(outs) <= 1:
+            queue.extend(outs)
             continue
-        outs_fwd = [v for v in G.successors(u) if G[u][v].get(dir_key) == out_edge_type]
 
-        if out_edge_type == "D":
-            outs_bwd = [p for p in G.predecessors(u) if G[p][u].get(dir_key) == "D"]
+        feeders = _feeders(G, u, out_dir)
+        # the original node's orthogonal neighbors re-attach to the
+        # stack's first / last slice
+        side_in = [p for p in G.predecessors(u) if G[p][u].get("dir") == chain_fwd]
+        side_out = [v for v in G.successors(u) if G[u][v].get("dir") == chain_fwd]
 
-            def ok_adj(bwd, dup):
-                return is_bottom_adjacent(
-                    G.nodes[bwd]["bbox"], G.nodes[dup]["bbox"], **_SOFT_IGN
-                )
-        elif out_edge_type == "U":
-            outs_bwd = [v for v in G.successors(u) if G[u][v].get(dir_key) == "D"]
+        slices = sorted(_slice_bbox(G, u, outs, axis), key=lambda bb: bb[axis])
+        outs = sorted(outs, key=lambda n: G.nodes[n]["bbox"][axis])
 
-            def ok_adj(bwd, dup):
-                return is_bottom_adjacent(
-                    G.nodes[dup]["bbox"], G.nodes[bwd]["bbox"], **_SOFT_IGN
-                )
-        else:
-            outs_bwd = []
+        attrs = dict(G.nodes[u])
+        dups = []
+        for bb in slices:
+            name = f"{u}__dup{next(fresh)}"
+            G.add_node(name, **{**attrs, "bbox": bb})
+            dups.append(name)
 
-            def ok_adj(bwd, dup):
-                return False
-
-        left_cells = [p for p in G.predecessors(u) if G[p][u].get(dir_key) == "R"]
-        right_cells = [v for v in G.successors(u) if G[u][v].get(dir_key) == "R"]
-
-        if len(outs_fwd) > 1:
-            seg_bboxes = split_bbox_by_down_neighbors_exact_x(G, u, outs_fwd)
-            seg_bboxes = sorted(seg_bboxes, key=lambda box: box[0])
-            outs_fwd = sorted(outs_fwd, key=lambda n: G.nodes[n]["bbox"][0])
-
-            base_attr = dict(G.nodes[u])
-            dups = []
-            for bb in seg_bboxes:
-                nu = f"{u}__dup{next(dup_counter)}"
-                attr = dict(base_attr)
-                attr["bbox"] = bb
-                G.add_node(nu, **attr)
-                dups.append(nu)
-
-            for out, dup in zip(outs_fwd, dups):
-                G.add_edge(dup, out, dir=out_edge_type)
-                G.add_edge(out, dup, dir=in_edge_type)
-            for p in left_cells:
-                G.add_edge(dups[0], p, dir="L")
-                G.add_edge(p, dups[0], dir="R")
-            for p in right_cells:
-                G.add_edge(dups[-1], p, dir="R")
-                G.add_edge(p, dups[-1], dir="L")
-            for a, b in zip(dups, dups[1:]):
-                G.add_edge(a, b, dir="R")
-                G.add_edge(b, a, dir="L")
-            for bwd in outs_bwd:
-                for dup in dups:
-                    if ok_adj(bwd, dup):
-                        G.add_edge(bwd, dup, dir=out_edge_type)
-                        G.add_edge(dup, bwd, dir=in_edge_type)
-                        queue.append(bwd)
-            queue.extend(dups)
-            G.remove_node(u)
-        else:
-            queue.extend(outs_fwd)
+        for out, dup in zip(outs, dups):
+            G.add_edge(dup, out, dir=out_dir)
+            G.add_edge(out, dup, dir=in_dir)
+        for p in side_in:
+            G.add_edge(dups[0], p, dir=chain_bwd)
+            G.add_edge(p, dups[0], dir=chain_fwd)
+        for p in side_out:
+            G.add_edge(dups[-1], p, dir=chain_fwd)
+            G.add_edge(p, dups[-1], dir=chain_bwd)
+        for a, b in zip(dups, dups[1:]):
+            G.add_edge(a, b, dir=chain_fwd)
+            G.add_edge(b, a, dir=chain_bwd)
+        for bwd in feeders:
+            for dup in dups:
+                if _feeder_matches(G, bwd, dup, out_dir):
+                    G.add_edge(bwd, dup, dir=out_dir)
+                    G.add_edge(dup, bwd, dir=in_dir)
+                    queue.append(bwd)
+        G.remove_node(u)
+        queue.extend(dups)
     return G
 
 
-def _components_with_isolates(dag, dir_value):
-    G = nx.Graph()
-    G.add_nodes_from(dag.nodes())
-    G.add_edges_from(
-        (u, v) for u, v, d in dag.edges(data=True) if d.get("dir") == dir_value
-    )
-    return list(nx.connected_components(G))
-
-
-def _cluster_heads_by_in_degree(dag, dir_value):
-    comps = _components_with_isolates(dag, dir_value)
-    H = nx.DiGraph(
-        (u, v, d) for u, v, d in dag.edges(data=True) if d.get("dir") == dir_value
-    )
-    H.add_nodes_from(dag.nodes())
+def _line_heads(dag, dir_value):
+    """Heads of every ``dir_value`` line: per connected component
+    (isolates included) the nodes without an incoming edge of that
+    direction, or the minimum node id when the component cycles."""
+    und = nx.Graph()
+    und.add_nodes_from(dag.nodes())
+    in_deg = dict.fromkeys(dag.nodes(), 0)
+    for u, v, d in dag.edges(data=True):
+        if d.get("dir") == dir_value:
+            und.add_edge(u, v)
+            in_deg[v] += 1
     heads = []
-    for comp in comps:
-        cand = [n for n in comp if H.in_degree(n) == 0]
-        if cand:
-            heads.extend(sorted(cand))
-        else:
-            heads.append(min(comp))
-    return heads, comps
+    for comp in nx.connected_components(und):
+        roots = sorted(n for n in comp if in_deg[n] == 0)
+        heads.extend(roots if roots else [min(comp)])
+    return heads
 
 
-def expand_dir_to_uit_row(dag, dir_key="dir"):
-    G = dag.copy()
-    for head in _cluster_heads_by_in_degree(G, dir_value="R")[0]:
-        G = normalize_row_with_out_edges(
-            G, head, dir_key=dir_key, in_edge_type="L", out_edge_type="R"
-        )
-    for head in _cluster_heads_by_in_degree(G, dir_value="L")[0]:
-        G = normalize_row_with_out_edges(
-            G, head, dir_key=dir_key, in_edge_type="R", out_edge_type="L"
-        )
+def _unitize(dag):
+    """Normalize every direction's lines to 1:1 chains."""
+    G = dag
+    for out_dir in ("R", "L", "D", "U"):
+        H = G.copy()
+        for head in _line_heads(H, out_dir):
+            H = _fanout_split(H, head, out_dir)
+        G = H
     return G
 
 
-def expand_dir_to_uit_col(dag, dir_key="dir"):
-    G = dag.copy()
-    for head in _cluster_heads_by_in_degree(G, dir_value="D")[0]:
-        G = normalize_col_with_out_edges(
-            G, head, dir_key=dir_key, in_edge_type="U", out_edge_type="D"
-        )
-    for head in _cluster_heads_by_in_degree(G, dir_value="U")[0]:
-        G = normalize_col_with_out_edges(
-            G, head, dir_key=dir_key, in_edge_type="D", out_edge_type="U"
-        )
-    return G
-
-
-def _expand_grid_to_unit(dag):
-    return expand_dir_to_uit_col(expand_dir_to_uit_row(dag))
-
-
-def _get_grid_from_dag(dag):
-    """Intersect row lines with column lines -> cell-id matrix
-    (reference :570)."""
-    row_root = _cluster_heads_by_in_degree(dag, dir_value="R")[0]
-    col_root = _cluster_heads_by_in_degree(dag, dir_value="D")[0]
-    row_root = sorted(row_root, key=lambda n: dag.nodes[n]["bbox"][1])
-    col_root = sorted(col_root, key=lambda n: dag.nodes[n]["bbox"][0])
-
-    raw_data = []
-    for r_head in row_root:
-        row_nodes = get_line_with_head(dag, r_head, dir_value="R")
-        row_nodes = sorted(row_nodes, key=lambda n: dag.nodes[n]["bbox"][0])
+def _trace_grid(dag):
+    """Row lines x column lines -> cell-id matrix."""
+    row_heads = sorted(_line_heads(dag, "R"), key=lambda n: dag.nodes[n]["bbox"][1])
+    col_heads = sorted(_line_heads(dag, "D"), key=lambda n: dag.nodes[n]["bbox"][0])
+    col_sets = [set(get_line_with_head(dag, h, "D")) for h in col_heads]
+    grid = []
+    for rh in row_heads:
+        row_line = set(get_line_with_head(dag, rh, "R"))
         row = []
-        for c_head in col_root:
-            c_nodes = get_line_with_head(dag, c_head, dir_value="D")
-            c_nodes = sorted(c_nodes, key=lambda n: dag.nodes[n]["bbox"][1])
-            cell_id = set(row_nodes).intersection(set(c_nodes))
-            row.append(list(cell_id)[0] if cell_id else None)
-        raw_data.append(row)
-    return raw_data
+        for cs in col_sets:
+            hit = row_line.intersection(cs)
+            row.append(next(iter(hit)) if hit else None)
+        grid.append(row)
+    return grid
 
 
-def _calc_spans_and_indices_from_raw_grid(raw_data):
-    """cell_id -> {row, col, row_span, col_span} (0-start anchors;
-    reference :526)."""
-    pos = {}
-    for r, row in enumerate(raw_data):
-        for c, cell_id in enumerate(row):
-            if cell_id is None:
+def _apply_grid_positions(cells, grid):
+    """Write each cell's row/col anchor and span from its extent in the
+    id matrix (0-based anchors)."""
+    extents = {}
+    for r, row in enumerate(grid):
+        for c, cid in enumerate(row):
+            if cid is None:
                 continue
-            if cell_id not in pos:
-                pos[cell_id] = [r, r, c, c]
+            e = extents.get(cid)
+            if e is None:
+                extents[cid] = [r, r, c, c]
             else:
-                pos[cell_id][0] = min(pos[cell_id][0], r)
-                pos[cell_id][1] = max(pos[cell_id][1], r)
-                pos[cell_id][2] = min(pos[cell_id][2], c)
-                pos[cell_id][3] = max(pos[cell_id][3], c)
-    return {
-        cid: {
-            "row": rmin, "col": cmin,
-            "row_span": rmax - rmin + 1, "col_span": cmax - cmin + 1,
-        }
-        for cid, (rmin, rmax, cmin, cmax) in pos.items()
-    }
+                e[0], e[1] = min(e[0], r), max(e[1], r)
+                e[2], e[3] = min(e[2], c), max(e[3], c)
+    for cid, (r0, r1, c0, c1) in extents.items():
+        cell = cells[cid]
+        cell.row, cell.col = r0, c0
+        cell.row_span, cell.col_span = r1 - r0 + 1, c1 - c0 + 1
 
 
-def _assign_cell_positions(cells, data):
-    for cell_id, info in _calc_spans_and_indices_from_raw_grid(data).items():
-        cell = cells[cell_id]
-        cell.row = info["row"]
-        cell.col = info["col"]
-        cell.row_span = info["row_span"]
-        cell.col_span = info["col_span"]
-
-
-def _remove_dup_suffix_from_data(grid):
+def _strip_slice_suffix(grid):
     return [
         [cid.split("__dup")[0] if cid is not None else None for cid in row]
         for row in grid
     ]
 
 
-def _get_col_headers_from_grid(grid, is_header_row, cells, clustered_nodes):
-    n_cols = len(grid[0])
-    n_rows = len(grid)
-    header_ids = set()
+def _column_headers(grid, is_header_row, cells, clustered_nodes):
+    """Per-column header stacks from the header band; headers that fall
+    outside the band are demoted to plain cells."""
+    in_band = set()
     col_headers = []
-    for col_idx in range(n_cols):
-        col_header = []
-        for row_idx in range(n_rows):
-            if is_header_row[row_idx] and grid[row_idx][col_idx] is not None:
-                col_header.append(grid[row_idx][col_idx])
-                header_ids.add(grid[row_idx][col_idx])
-        col_header = sorted(set(col_header), key=lambda h: cells[h].box[1])
-        col_headers.append(col_header)
+    for col in zip(*grid):
+        stack = {
+            cid
+            for keep, cid in zip(is_header_row, col)
+            if keep and cid is not None
+        }
+        in_band |= stack
+        col_headers.append(sorted(stack, key=lambda h: cells[h].box[1]))
 
-    grid_cells = set()
-    for cluster in clustered_nodes.values():
-        for cell in cluster:
-            grid_cells.add(cell.id)
-    # demote headers outside header rows to plain cells
+    grid_members = {
+        cell.id for cluster in clustered_nodes.values() for cell in cluster
+    }
     for cell in cells.values():
-        if (
-            cell.id not in header_ids
-            and cell.role == "header"
-            and cell.id in grid_cells
-        ):
+        if cell.role == "header" and cell.id in grid_members and cell.id not in in_band:
             cell.role = "cell"
     return col_headers
 
 
-def _get_grid_bbox(grid, cells):
-    xs1, ys1, xs2, ys2 = [], [], [], []
-    for row in grid:
-        for cell_id in row:
-            if cell_id is None:
-                continue
-            x1, y1, x2, y2 = cells[cell_id].box
-            xs1.append(x1)
-            ys1.append(y1)
-            xs2.append(x2)
-            ys2.append(y2)
-    if not xs1:
+def _grid_bbox(grid, cells):
+    ids = {cid for row in grid for cid in row if cid is not None}
+    if not ids:
         return (0.0, 0.0, 0.0, 0.0)
-    return (min(xs1), min(ys1), max(xs2), max(ys2))
+    boxes = np.asarray([cells[cid].box for cid in ids], dtype=np.float64)
+    return (
+        boxes[:, 0].min(), boxes[:, 1].min(), boxes[:, 2].max(), boxes[:, 3].max()
+    )
 
 
 def merge_cells(cell1, cell2):
-    """Merge two cells; if one id-set contains the other, keep the larger
-    (reference :700)."""
-    cell1_ids = set(cell1.id.split("_"))
-    cell2_ids = set(cell2.id.split("_"))
-    if cell1_ids.issubset(cell2_ids):
+    """Merge two cells; if one id-set contains the other, keep the larger."""
+    ids1, ids2 = set(cell1.id.split("_")), set(cell2.id.split("_"))
+    if ids1.issubset(ids2):
         return cell2, False
-    if cell2_ids.issubset(cell1_ids):
+    if ids2.issubset(ids1):
         return cell1, False
-    x1 = min(cell1.box[0], cell2.box[0])
-    y1 = min(cell1.box[1], cell2.box[1])
-    x2 = max(cell1.box[2], cell2.box[2])
-    y2 = max(cell1.box[3], cell2.box[3])
-    new_cell = type(cell1)(
+    return type(cell1)(
         id=f"{cell1.id}_{cell2.id}",
-        box=(x1, y1, x2, y2),
+        box=(
+            min(cell1.box[0], cell2.box[0]),
+            min(cell1.box[1], cell2.box[1]),
+            max(cell1.box[2], cell2.box[2]),
+            max(cell1.box[3], cell2.box[3]),
+        ),
         role=cell1.role,
         contents=(cell1.contents + cell2.contents).strip(),
         row=min(cell1.row, cell2.row),
         col=min(cell1.col, cell2.col),
         row_span=cell1.row_span + cell2.row_span,
         col_span=cell1.col_span + cell2.col_span,
-    )
-    return new_cell, True
+    ), True
 
 
 def _merge_same_column_values(grid, col_headers, cells):
-    """Union columns whose last header cell is identical (reference :733)."""
-    union_find = UnionFind(len(col_headers))
+    """Union columns sharing an identical terminal header cell."""
+    uf = UnionFind(len(col_headers))
     for c1 in range(len(col_headers)):
         if not col_headers[c1]:
             continue
         for c2 in range(c1 + 1, len(col_headers)):
-            if not col_headers[c2]:
-                continue
-            if col_headers[c1][-1] == col_headers[c2][-1]:
-                union_find.union(c1, c2)
+            if col_headers[c2] and col_headers[c1][-1] == col_headers[c2][-1]:
+                uf.union(c1, c2)
 
+    groups = uf.groups()
     new_col_headers = []
-    for group in union_find.groups():
-        merged = []
-        for c in group:
-            merged.extend(col_headers[c])
+    for group in groups:
+        merged = [h for c in group for h in col_headers[c]]
         merged = sorted(set(merged), key=lambda h: cells[h].box[1])
+        # quirk kept from the reference: the final set() re-wrap discards
+        # the sort, leaving hash order
         new_col_headers.append(list(set(merged)))
 
     new_grid = []
     for row in grid:
         new_row = []
-        for group in union_find.groups():
-            cell_ids = [row[c] for c in group if row[c] is not None]
-            if not cell_ids:
+        for group in groups:
+            ids = [row[c] for c in group if row[c] is not None]
+            if not ids:
                 new_row.append(None)
-            else:
-                merged_cell = cells[cell_ids[0]]
-                for cid in cell_ids[1:]:
-                    merged_cell, _ = merge_cells(merged_cell, cells[cid])
-                new_row.append(merged_cell.id)
-                cells[merged_cell.id] = merged_cell
+                continue
+            acc = cells[ids[0]]
+            for cid in ids[1:]:
+                acc, _ = merge_cells(acc, cells[cid])
+            cells[acc.id] = acc
+            new_row.append(acc.id)
         new_grid.append(new_row)
 
-    grid_cells = {cid for row in new_grid for cid in row if cid is not None}
-    cells = {cid: cell for cid, cell in cells.items() if cid in grid_cells}
+    live = {cid for row in new_grid for cid in row if cid is not None}
+    cells = {cid: cell for cid, cell in cells.items() if cid in live}
     return new_grid, new_col_headers, cells
 
 
 def parse_grid_from_bottom_up(cells, clustered_nodes, merge_same_column_values=False):
-    """Cells + role clusters -> TableGridSchema (reference :787)."""
-    dag = _get_grid_dag(clustered_nodes)
-    dag = _expand_grid_to_unit(dag)
-    grid = _get_grid_from_dag(dag)
+    """Cells + role clusters -> (TableGridSchema, cells, dag) or None."""
+    dag = _unitize(_lattice(clustered_nodes))
+    grid = _trace_grid(dag)
     if len(grid) == 0 or len(grid[0]) == 0:
         return None
 
-    roles = [
-        [
-            dag.nodes[cid]["role"] if cid is not None else "empty"
+    is_header_row = [
+        all(
+            (dag.nodes[cid]["role"] if cid is not None else "empty")
+            in ("header", "empty")
             for cid in row
-        ]
+        )
         for row in grid
     ]
-    is_header_row = [
-        all(role in ("header", "empty") for role in row) for row in roles
-    ]
 
-    grid = _remove_dup_suffix_from_data(grid)
-    grid_box = list(map(int, _get_grid_bbox(grid, cells)))
-    _assign_cell_positions(cells, grid)
-    col_headers = _get_col_headers_from_grid(grid, is_header_row, cells, clustered_nodes)
+    grid = _strip_slice_suffix(grid)
+    grid_box = list(map(int, _grid_bbox(grid, cells)))
+    _apply_grid_positions(cells, grid)
+    col_headers = _column_headers(grid, is_header_row, cells, clustered_nodes)
 
     if merge_same_column_values:
         grid, col_headers, cells = _merge_same_column_values(grid, col_headers, cells)

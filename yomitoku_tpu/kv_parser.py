@@ -1,231 +1,198 @@
 """Key-value parsing of non-grid table regions.
 
-Reference parity: yomitoku/kv_parser.py — group-scoped adjacency DAG of
-header->cell / header->header / cell->cell edges; per weakly-connected
-component, DFS from root headers in both R and D directions and keep the
-direction yielding more distinct value leaves; unreached cells become
-keyless items.
+Behavioral contract: reference yomitoku/kv_parser.py, pinned by the
+differential fuzz in tests/test_semantic_differential.py.
+
+Flow: every cell/header is claimed by its best-overlap group box (or a
+shared pseudo-group); a relation digraph links header->cell,
+header->header, and cell->cell pairs that are right-/bottom-adjacent and
+group-compatible; per weakly-connected component, key paths are walked
+from root headers twice — once following only R edges, once only D — and
+the direction yielding more distinct value leaves wins; cells no walk
+reached become keyless items.
+
+The group claims and pair adjacencies are computed as overlap/adjacency
+matrices (utils.misc.overlap_ratio_matrix / utils.adjacency) rather than
+per-pair scalar predicates.
 """
 
 import networkx as nx
+import numpy as np
 
 from .schemas.table_semantic_parser import KvItemSchema
-from .utils.misc import (
-    calc_overlap_ratio,
-    is_bottom_adjacent,
-    is_contained,
-    is_right_adjacent,
-)
+from .utils.adjacency import bottom_adjacency_matrix, right_adjacency_matrix
+from .utils.misc import overlap_ratio_matrix
 
 PSEUDO_GROUP_ID = "__unmatched__"
 
 
-def _best_group(box, groups):
-    best_id, best_ratio = None, 0.0
-    for group in groups:
-        if is_contained(group.box, box, threshold=0.2):
-            ratio = calc_overlap_ratio(box, group.box)[0]
-            if ratio > best_ratio:
-                best_ratio = ratio
-                best_id = group.id
-    return best_id
+def _claim_groups(items, groups):
+    """id -> group id for every item claimed by a group: the group must
+    cover >20% of the item, and among those the item keeps the group it
+    covers the largest fraction of (first win on ties)."""
+    if not items or not groups:
+        return {}
+    gboxes = [g.box for g in groups]
+    iboxes = [i.box for i in items]
+    covers_item = overlap_ratio_matrix(gboxes, iboxes)  # (G, N)
+    covers_group = overlap_ratio_matrix(iboxes, gboxes)  # (N, G)
+    claims = {}
+    for n, item in enumerate(items):
+        score = np.where(covers_item[:, n] > 0.2, covers_group[n], -1.0)
+        g = int(score.argmax())
+        if score[g] > 0:
+            claims[item.id] = groups[g].id
+    return claims
 
 
-def _matching_group_and_cells(nodes, groups):
-    """Assign each cell/header to its best-overlap group; unmatched nodes
-    go to a pseudo group (reference :15)."""
-    match = {
-        "header_to_group": {},
-        "group_to_cells": {},
-        "cell_to_group": {},
-        "group_to_headers": {},
-    }
-    if len(groups) == 0:
-        return match
+def get_kv_items_dag(nodes, groups):
+    """Relation digraph over header/cell/empty nodes; edges carry dir
+    R/L/D/U and only link group-compatible pairs."""
+    headers = nodes["header"]
+    values = nodes["cell"] + nodes["empty"]
+    value_group = _claim_groups(values, groups)
+    header_group = _claim_groups(headers, groups)
+    if groups:
+        for v in values:
+            value_group.setdefault(v.id, PSEUDO_GROUP_ID)
+        for h in headers:
+            header_group.setdefault(h.id, PSEUDO_GROUP_ID)
 
-    cell_to_group = {}
-    for cell in nodes["cell"] + nodes["empty"]:
-        gid = _best_group(cell.box, groups)
-        if gid is not None:
-            cell_to_group[cell.id] = gid
-    header_to_group = {}
-    for header in nodes["header"]:
-        gid = _best_group(header.box, groups)
-        if gid is not None:
-            header_to_group[header.id] = gid
+    everyone = headers + nodes["cell"] + nodes["empty"]
+    dag = nx.DiGraph()
+    for n in everyone:
+        dag.add_node(n.id, id=n.id, bbox=n.box, role=n.role, contents=n.contents)
 
-    for c in nodes["cell"] + nodes["empty"]:
-        if c.id not in cell_to_group:
-            cell_to_group[c.id] = PSEUDO_GROUP_ID
-    for h in nodes["header"]:
-        if h.id not in header_to_group:
-            header_to_group[h.id] = PSEUDO_GROUP_ID
+    boxes = [n.box for n in everyone]
+    right = right_adjacency_matrix(boxes, boxes)
+    down = bottom_adjacency_matrix(boxes, boxes)
+    pos = {n.id: i for i, n in enumerate(everyone)}
 
-    match["cell_to_group"] = cell_to_group
-    match["header_to_group"] = header_to_group
-    for cell_id, gid in cell_to_group.items():
-        match["group_to_cells"].setdefault(gid, []).append(cell_id)
-    for header_id, gid in header_to_group.items():
-        match["group_to_headers"].setdefault(gid, []).append(header_id)
-    return match
+    def _link(a, b):
+        i, j = pos[a.id], pos[b.id]
+        if right[i, j]:
+            dag.add_edge(a.id, b.id, dir="R")
+            dag.add_edge(b.id, a.id, dir="L")
+        if down[i, j]:
+            dag.add_edge(a.id, b.id, dir="D")
+            dag.add_edge(b.id, a.id, dir="U")
 
-
-def _add_adjacency_edges(dag, a, b):
-    if is_right_adjacent(a.box, b.box):
-        dag.add_edge(a.id, b.id, dir="R")
-        dag.add_edge(b.id, a.id, dir="L")
-    if is_bottom_adjacent(a.box, b.box):
-        dag.add_edge(a.id, b.id, dir="D")
-        dag.add_edge(b.id, a.id, dir="U")
-
-
-def _calc_adjacent_header_to_cell(dag, match, headers, cells):
-    cell_to_group = match["cell_to_group"]
-    header_to_group = match["header_to_group"]
-    for header in headers:
-        hg = header_to_group.get(header.id)
-        if hg is None:
-            continue
-        for cell in cells:
-            cg = cell_to_group.get(cell.id)
-            if cg is None or hg != cg:
+    # header -> value within the same group (cells first, then empties)
+    for pool in (nodes["cell"], nodes["empty"]):
+        for h in headers:
+            hg = header_group.get(h.id)
+            if hg is None:
                 continue
-            _add_adjacency_edges(dag, header, cell)
+            for v in pool:
+                if value_group.get(v.id) == hg:
+                    _link(h, v)
 
-
-def _calc_adjacent_header_to_header(dag, match, nodes):
-    header_to_group = match["header_to_group"]
-    for node in nodes:
-        for potential_parent in nodes:
-            if node.id == potential_parent.id:
+    # header -> header: same group, or either side unclaimed
+    for node in headers:
+        ng = header_group.get(node.id)
+        for parent in headers:
+            if node.id == parent.id:
                 continue
-            pg = header_to_group.get(potential_parent.id)
-            ng = header_to_group.get(node.id)
+            pg = header_group.get(parent.id)
             if pg is None or ng is None:
                 continue
             if pg != ng and PSEUDO_GROUP_ID not in (pg, ng):
                 continue
-            _add_adjacency_edges(dag, potential_parent, node)
+            _link(parent, node)
 
-
-def _calc_adjacent_cell_to_cell(dag, match, nodes):
-    cell_to_group = match["cell_to_group"]
-    for node in nodes:
-        ng = cell_to_group.get(node.id)
+    # cell -> cell within the same group
+    for node in nodes["cell"]:
+        ng = value_group.get(node.id)
         if ng is None:
             continue
-        for potential_parent in nodes:
-            if node.id == potential_parent.id:
-                continue
-            pg = cell_to_group.get(potential_parent.id)
-            if pg is None or ng != pg:
-                continue
-            _add_adjacency_edges(dag, potential_parent, node)
-
-
-def get_kv_items_dag(nodes, groups):
-    """Reference :199."""
-    match = _matching_group_and_cells(nodes, groups)
-    dag = nx.DiGraph()
-    for node in nodes["header"] + nodes["cell"] + nodes["empty"]:
-        dag.add_node(
-            node.id, id=node.id, bbox=node.box, role=node.role,
-            contents=node.contents,
-        )
-    _calc_adjacent_header_to_cell(dag, match, nodes["header"], nodes["cell"])
-    _calc_adjacent_header_to_cell(dag, match, nodes["header"], nodes["empty"])
-    _calc_adjacent_header_to_header(dag, match, nodes["header"])
-    _calc_adjacent_cell_to_cell(dag, match, nodes["cell"])
+        for parent in nodes["cell"]:
+            if node.id != parent.id and value_group.get(parent.id) == ng:
+                _link(parent, node)
     return dag
 
 
-def _merge_bbox(box1, box2):
-    return [
-        min(box1[0], box2[0]), min(box1[1], box2[1]),
-        max(box1[2], box2[2]), max(box1[3], box2[3]),
-    ]
-
-
-def _find_root_headers(dag, direction, node_set=None):
-    """Headers with no incoming `direction` edge from another header."""
-    if node_set is None:
-        node_set = set(dag.nodes)
-    headers = [n for n in node_set if dag.nodes[n]["role"] == "header"]
+def _root_headers(dag, direction, node_set):
+    """Headers in the component with no ``direction`` in-edge from
+    another component header."""
     roots = []
-    for h in headers:
-        has_parent_header = False
-        for u in dag.predecessors(h):
-            if u not in node_set:
-                continue
-            if dag.nodes[u]["role"] != "header":
-                continue
-            if dag[u][h].get("dir") == direction:
-                has_parent_header = True
-                break
-        if not has_parent_header:
+    for h in node_set:
+        if dag.nodes[h]["role"] != "header":
+            continue
+        fed = any(
+            u in node_set
+            and dag.nodes[u]["role"] == "header"
+            and dag[u][h].get("dir") == direction
+            for u in dag.predecessors(h)
+        )
+        if not fed:
             roots.append(h)
     return roots
 
 
-def _dfs_collect_kv(dag, node_id, key_path, kv_items, cells, kv_cells, allowed_dir):
-    node = dag.nodes[node_id]
-    if node["role"] in ("cell", "empty"):
-        keys = list(key_path)
+def _span_boxes(box_a, box_b):
+    return [
+        min(box_a[0], box_b[0]), min(box_a[1], box_b[1]),
+        max(box_a[2], box_b[2]), max(box_a[3], box_b[3]),
+    ]
+
+
+def _walk(dag, node_id, key_path, direction, cells, items, touched):
+    """Preorder key-path walk: headers extend the path, values emit an
+    item keyed by the path so far."""
+    if dag.nodes[node_id]["role"] in ("cell", "empty"):
         box = (
-            _merge_bbox(cells[node_id].box, cells[keys[0]].box)
-            if keys
+            _span_boxes(cells[node_id].box, cells[key_path[0]].box)
+            if key_path
             else cells[node_id].box
         )
-        kv_items.append(KvItemSchema(id=None, key=keys, value=node_id, box=box))
-        kv_cells[node_id] = cells[node_id]
-        for k in keys:
-            kv_cells[k] = cells[k]
+        items.append(
+            KvItemSchema(id=None, key=list(key_path), value=node_id, box=box)
+        )
+        touched[node_id] = cells[node_id]
+        for k in key_path:
+            touched[k] = cells[k]
         return
-    new_key_path = key_path + [node_id]
-    for v in dag.successors(node_id):
-        if v in new_key_path:
-            continue
-        if dag[node_id][v].get("dir") == allowed_dir:
-            _dfs_collect_kv(dag, v, new_key_path, kv_items, cells, kv_cells, allowed_dir)
+    key_path = key_path + [node_id]
+    for nxt in dag.successors(node_id):
+        if nxt not in key_path and dag[node_id][nxt].get("dir") == direction:
+            _walk(dag, nxt, key_path, direction, cells, items, touched)
 
 
 def parse_kv_items(clustered_nodes, nodes, cells):
-    """Reference :293."""
+    """Per weak component, keep the walk direction (R vs D) that reaches
+    more distinct value leaves; unreached values become keyless items."""
     dag = get_kv_items_dag(clustered_nodes, nodes["group"])
     kv_items = []
     kv_cells = {}
 
     for component in nx.weakly_connected_components(dag):
         node_set = set(component)
+        candidates = {}
+        for direction in ("R", "D"):
+            items, touched = [], {}
+            for root in _root_headers(dag, direction, node_set):
+                _walk(dag, root, [], direction, cells, items, touched)
+            candidates[direction] = (items, touched)
 
-        h_kv_items, h_kv_cells = [], {}
-        for root_id in _find_root_headers(dag, "R", node_set):
-            _dfs_collect_kv(dag, root_id, [], h_kv_items, cells, h_kv_cells, "R")
-        v_kv_items, v_kv_cells = [], {}
-        for root_id in _find_root_headers(dag, "D", node_set):
-            _dfs_collect_kv(dag, root_id, [], v_kv_items, cells, v_kv_cells, "D")
+        h_leaves = len({kv.value for kv in candidates["R"][0]})
+        v_leaves = len({kv.value for kv in candidates["D"][0]})
+        winner = "D" if v_leaves > h_leaves else "R"
+        items, touched = candidates[winner]
+        kv_items.extend(items)
+        kv_cells.update(touched)
 
-        h_leaves = len({kv.value for kv in h_kv_items})
-        v_leaves = len({kv.value for kv in v_kv_items})
-        if v_leaves > h_leaves:
-            kv_items.extend(v_kv_items)
-            kv_cells.update(v_kv_cells)
-            remove_dirs = ("R", "L")
-        else:
-            kv_items.extend(h_kv_items)
-            kv_cells.update(h_kv_cells)
-            remove_dirs = ("D", "U")
-
-        edges_to_remove = [
+        loser_dirs = ("R", "L") if winner == "D" else ("D", "U")
+        dag.remove_edges_from([
             (u, v)
             for u, v, d in dag.edges(node_set, data=True)
-            if v in node_set and d.get("dir") in remove_dirs
-        ]
-        dag.remove_edges_from(edges_to_remove)
+            if v in node_set and d.get("dir") in loser_dirs
+        ])
 
-    visited_values = {kv.value for kv in kv_items}
+    reached = {kv.value for kv in kv_items}
     for cell in clustered_nodes["cell"] + clustered_nodes["empty"]:
-        if cell.id not in visited_values:
-            kv_items.append(KvItemSchema(id=None, key=[], value=cell.id, box=cell.box))
+        if cell.id not in reached:
+            kv_items.append(
+                KvItemSchema(id=None, key=[], value=cell.id, box=cell.box)
+            )
             kv_cells[cell.id] = cells[cell.id]
     return kv_items, dag, kv_cells

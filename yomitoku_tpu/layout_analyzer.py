@@ -9,12 +9,14 @@ from .table_structure_recognizer import TableStructureRecognizer
 
 
 class LayoutAnalyzer:
-    def __init__(self, configs=None, device="tpu", visualize=False):
+    def __init__(self, configs=None, device="tpu", visualize=False,
+                 num_devices=None):
         configs = configs or {}
         if not isinstance(configs, dict):
             raise ValueError("configs must be a dict.")
-        lp_kwargs = {"device": device, "visualize": visualize}
-        tsr_kwargs = {"device": device, "visualize": visualize}
+        lp_kwargs = {"device": device, "visualize": visualize,
+                     "num_devices": num_devices}
+        tsr_kwargs = dict(lp_kwargs)
         lp_kwargs.update(configs.get("layout_parser", {}))
         tsr_kwargs.update(configs.get("table_structure_recognizer", {}))
 

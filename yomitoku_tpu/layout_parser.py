@@ -90,9 +90,16 @@ class LayoutParser(BaseModule):
         visualize=False,
         from_pretrained=True,
         infer_onnx=False,  # API compat
+        num_devices=None,
     ):
         super().__init__()
         self.load_model(model_name, path_cfg, from_pretrained=from_pretrained)
+        if num_devices is not None:
+            from .parallel import dp_mesh
+
+            mesh = dp_mesh(num_devices)
+            if mesh is not None:
+                self.model.use_mesh(mesh)
         self.device = device
         self.visualize = visualize
         self.postprocessor = RTDETRPostProcessor(

@@ -43,6 +43,7 @@ class JaxModel:
         self.cfg = cfg
         self._params = None
         self._dparams = None
+        self._mesh = None
 
     # -- parameters -----------------------------------------------------
 
@@ -65,10 +66,40 @@ class JaxModel:
     def dparams(self):
         """Device-resident params.  Host numpy pytrees passed to jit are
         re-uploaded on EVERY call (tens of ms for 100MB models); pin them
-        on device once."""
+        on device once.  Under a mesh they replicate across every chip."""
         if self._dparams is None:
-            self._dparams = jax.device_put(self.params)
+            if self._mesh is not None:
+                from ..parallel.mesh import replicated
+
+                self._dparams = jax.device_put(self.params, replicated(self._mesh))
+            else:
+                self._dparams = jax.device_put(self.params)
         return self._dparams
+
+    # -- multi-chip -----------------------------------------------------
+
+    def use_mesh(self, mesh):
+        """Attach a (dp, tp) mesh: params replicate across it and batch
+        forwards shard their leading axis over ``dp`` (XLA inserts the
+        collectives; on a real slice they ride ICI)."""
+        self._mesh = mesh
+        self._dparams = None
+
+    def place_batch(self, arr):
+        """Place a host batch for the forward program: dp-sharded over
+        the mesh when the batch divides evenly, single-device otherwise."""
+        import jax.numpy as jnp
+
+        arr = np.asarray(arr)
+        if (
+            self._mesh is None
+            or arr.shape[0] == 0
+            or arr.shape[0] % self._mesh.shape["dp"]
+        ):
+            return jnp.asarray(arr)
+        from ..parallel.mesh import batch_sharding
+
+        return jax.device_put(arr, batch_sharding(self._mesh, arr.ndim))
 
     def param_count(self) -> int:
         return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.params))

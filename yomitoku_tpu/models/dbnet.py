@@ -198,16 +198,19 @@ class DBNet(JaxModel):
         inv = 1.0 / (jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0)
         x = (images_u8.astype(jnp.float32) - mean) * inv
         prob = self.core.apply(params, x.astype(self.dtype))[..., 0]
-        return prob.astype(jnp.float16)  # halves device->host transfer
+        # quantize the map to uint8 for the wire (4x less than float32;
+        # readback bandwidth is ~44 MB/s on this platform).  <=1/510
+        # probability quantization vs the 0.3/0.4 thresholds.
+        return jnp.clip(jnp.rint(prob * 255.0), 0, 255).astype(jnp.uint8)
 
     def forward_binary(self, images: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) standardized float32 -> (B, H, W) prob map."""
-        return np.asarray(self._fwd(self.dparams, jnp.asarray(images)))
+        return np.asarray(self._fwd(self.dparams, self.place_batch(images)))
 
     def forward_binary_u8(self, images_u8: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) uint8 (resized, BGR) -> (B, H, W) float32 prob map."""
-        out = self._fwd_u8(self.dparams, jnp.asarray(images_u8))
-        return np.asarray(out).astype(np.float32)
+        out = self._fwd_u8(self.dparams, self.place_batch(images_u8))
+        return np.asarray(out).astype(np.float32) * (1.0 / 255.0)
 
     def init_params(self, seed: int = 0):
         from .base import on_host_cpu

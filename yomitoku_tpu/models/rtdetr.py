@@ -87,7 +87,7 @@ class RTDETRv2(JaxModel):
     def forward(self, images: np.ndarray):
         """(B, H, W, 3) standardized float32 ->
         {"pred_logits": (B, Q, C), "pred_boxes": (B, Q, 4)} on device."""
-        return self._fwd(self.dparams, jnp.asarray(images))
+        return self._fwd(self.dparams, self.place_batch(images))
 
     def init_params(self, seed: int = 0):
         from .base import on_host_cpu

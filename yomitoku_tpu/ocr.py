@@ -30,12 +30,14 @@ def ocr_aggregate(det_outputs, rec_outputs):
 
 
 class OCR:
-    def __init__(self, configs=None, device="tpu", visualize=False):
+    def __init__(self, configs=None, device="tpu", visualize=False,
+                 num_devices=None):
         configs = configs or {}
         if not isinstance(configs, dict):
             raise ValueError("configs must be a dict.")
-        det_kwargs = {"device": device, "visualize": visualize}
-        rec_kwargs = {"device": device, "visualize": visualize}
+        det_kwargs = {"device": device, "visualize": visualize,
+                      "num_devices": num_devices}
+        rec_kwargs = dict(det_kwargs)
         det_kwargs.update(configs.get("text_detector", {}))
         rec_kwargs.update(configs.get("text_recognizer", {}))
 

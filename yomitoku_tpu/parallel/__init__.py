@@ -1,5 +1,6 @@
 from .mesh import (  # noqa: F401
     batch_sharding,
+    dp_mesh,
     make_mesh,
     parseq_param_shardings,
     replicated,

@@ -36,6 +36,22 @@ def make_mesh(n_devices=None, tp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, ("dp", "tp"))
 
 
+def dp_mesh(num_devices=None):
+    """dp-only mesh over the local devices for pipeline integration.
+
+    ``num_devices``: None/0/1 -> no mesh (single-device path); -1 -> all
+    local devices; N -> first min(N, available).  Returns None whenever
+    fewer than 2 devices would participate, so callers can gate on it.
+    """
+    if num_devices in (None, 0, 1):
+        return None
+    devs = jax.devices()
+    n = len(devs) if num_devices == -1 else min(int(num_devices), len(devs))
+    if n < 2:
+        return None
+    return make_mesh(n_devices=n, tp=1)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

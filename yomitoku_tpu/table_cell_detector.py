@@ -165,9 +165,16 @@ class CellDetector(BaseModule):
         visualize=False,
         from_pretrained=True,
         infer_onnx=False,  # API compat
+        num_devices=None,
     ):
         super().__init__()
         self.load_model(model_name, path_cfg, from_pretrained=from_pretrained)
+        if num_devices is not None:
+            from .parallel import dp_mesh
+
+            mesh = dp_mesh(num_devices)
+            if mesh is not None:
+                self.model.use_mesh(mesh)
         self.device = device
         self.visualize = visualize
         self.postprocessor = RTDETRPostProcessor(
@@ -201,10 +208,8 @@ class CellDetector(BaseModule):
     def is_fully_contained(self, box1, box2, threshold=0.9):
         return calc_iou(box1, box2) >= threshold
 
-    def postprocess(self, pred_one, data, table_box):
-        h, w = data["size"]
-        outputs = self.postprocessor(pred_one, [[w, h]], self.thresh_score)
-        preds = outputs[0]
+    def postprocess(self, preds, data, table_box):
+        """``preds``: one already-filtered {labels, boxes, scores} dict."""
 
         category_elements = {c: [] for c in self.label_mapper.values()}
         category_elements["hole"] = []
@@ -303,14 +308,10 @@ class CellDetector(BaseModule):
         if data:
             batch = np.stack([d["array"] for d in data])
             preds = self.model.forward(batch)
-            logits = np.asarray(preds["pred_logits"])
-            boxes = np.asarray(preds["pred_boxes"])
-            for i, (d, table) in enumerate(zip(data, tables)):
-                pred_one = {
-                    "pred_logits": logits[i : i + 1],
-                    "pred_boxes": boxes[i : i + 1],
-                }
-                cells = self.postprocess(pred_one, d, table.box)
+            sizes = [[d["size"][1], d["size"][0]] for d in data]
+            filtered = self.postprocessor(preds, sizes, self.thresh_score)
+            for one, (d, table) in zip(filtered, zip(data, tables)):
+                cells = self.postprocess(one, d, table.box)
                 if len(cells) == 0:
                     continue
                 outputs.append(

@@ -32,12 +32,8 @@ from .table_cell_detector import CellDetector
 from .text_detector import TextDetector
 from .text_recognizer import TextRecognizer
 from .utils.logger import set_logger
-from .utils.misc import (
-    calc_overlap_ratio,
-    is_bottom_adjacent,
-    is_right_adjacent,
-    quad_to_xyxy,
-)
+from .utils.adjacency import bottom_adjacency_matrix, right_adjacency_matrix
+from .utils.misc import quad_to_xyxy
 
 logger = set_logger(__name__, "INFO")
 
@@ -68,92 +64,99 @@ def _get_cluster_nodes(clusters, nodes):
     return clustered_nodes_list
 
 
-def drop_single_out_edge_by_type(G, edge_type, type_key="type"):
-    """Remove out-edges of a type when a node has exactly one
-    (reference :86)."""
-    to_remove = []
-    for u in G.nodes():
-        outs = [(u, v) for v in G.successors(u) if G[u][v].get(type_key) == edge_type]
-        if len(outs) == 1:
-            to_remove.append(outs[0])
-    G.remove_edges_from(to_remove)
-    return to_remove
-
-
-def replace_edge_type(G, from_type, to_type, key="type"):
-    for _, _, d in G.edges(data=True):
-        if d.get(key) == from_type:
-            d[key] = to_type
+def _prune_solo_nest_edges(dag):
+    """A node's lone "nest" out-edge is 1:1 vertical noise — drop it;
+    surviving nest edges become plain D links."""
+    for u in dag.nodes():
+        nests = [v for v in dag.successors(u) if dag[u][v].get("dir") == "nest"]
+        if len(nests) == 1:
+            dag.remove_edge(u, nests[0])
+    for _, _, d in dag.edges(data=True):
+        if d.get("dir") == "nest":
+            d["dir"] = "D"
 
 
 def _weakly_cluster_nodes_with_graph(nodes):
-    """Heuristic adjacency DAG + weakly-connected clustering
-    (reference :101)."""
+    """Heuristic proximity DAG + weakly-connected clustering.
+
+    All pair rules are evaluated as adjacency matrices (one vectorized
+    call per rule) and only the edge insertion walks pairs in order."""
+    headers = nodes["header"]
+    values = nodes["cell"] + nodes["empty"]
+    empties = nodes["empty"]
+    h_boxes = [h.box for h in headers]
+    v_boxes = [v.box for v in values]
+    e_boxes = [e.box for e in empties]
+
     dag = nx.DiGraph()
-    for role in nodes:
-        if role not in ("header", "cell", "empty"):
-            continue
+    for role in ("header", "cell", "empty"):
         for node in nodes[role]:
             dag.add_node(node.id, bbox=node.box, role=node.role)
 
-    for header in nodes["header"]:
-        for cell in nodes["cell"] + nodes["empty"]:
-            if is_bottom_adjacent(header.box, cell.box, rule="nest"):
+    hv_nest = bottom_adjacency_matrix(h_boxes, v_boxes, rule="nest")
+    hv_soft = right_adjacency_matrix(h_boxes, v_boxes, rule="soft")
+    hh_soft = right_adjacency_matrix(h_boxes, h_boxes, rule="soft")
+    hh_child = bottom_adjacency_matrix(h_boxes, h_boxes, rule="child")
+    for i, header in enumerate(headers):
+        for j, cell in enumerate(values):
+            if hv_nest[i, j] or hv_soft[i, j]:
                 dag.add_edge(header.id, cell.id, dir="D")
-            if is_right_adjacent(header.box, cell.box, rule="soft"):
-                dag.add_edge(header.id, cell.id, dir="D")
-        for header2 in nodes["header"]:
-            if header.id == header2.id:
+        for j, other in enumerate(headers):
+            if header.id == other.id:
                 continue
-            if is_right_adjacent(header.box, header2.box, rule="soft"):
-                dag.add_edge(header.id, header2.id, dir="D")
-            if is_bottom_adjacent(header.box, header2.box, rule="child"):
-                dag.add_edge(header.id, header2.id, dir="nest")
+            if hh_soft[i, j]:
+                dag.add_edge(header.id, other.id, dir="D")
+            if hh_child[i, j]:
+                dag.add_edge(header.id, other.id, dir="nest")
 
-    # single vertical 1:1 header links are noise, drop them
-    drop_single_out_edge_by_type(dag, edge_type="nest", type_key="dir")
-    replace_edge_type(dag, from_type="nest", to_type="D", key="dir")
+    _prune_solo_nest_edges(dag)
 
-    for cell1 in nodes["cell"] + nodes["empty"]:
-        for cell2 in nodes["cell"] + nodes["empty"]:
-            if cell1.id == cell2.id:
-                continue
-            if is_right_adjacent(cell1.box, cell2.box, rule="soft"):
-                dag.add_edge(cell1.id, cell2.id, dir="D")
-            if is_bottom_adjacent(cell1.box, cell2.box, rule="hard"):
-                dag.add_edge(cell1.id, cell2.id, dir="D")
+    vv_soft = right_adjacency_matrix(v_boxes, v_boxes, rule="soft")
+    vv_hard = bottom_adjacency_matrix(v_boxes, v_boxes, rule="hard")
+    for i, a in enumerate(values):
+        for j, b in enumerate(values):
+            if a.id != b.id and (vv_soft[i, j] or vv_hard[i, j]):
+                dag.add_edge(a.id, b.id, dir="D")
 
-    for empty in nodes["empty"]:
-        for header in nodes["header"]:
-            if is_bottom_adjacent(empty.box, header.box, rule="hard"):
-                dag.add_edge(empty.id, header.id, dir="D")
-            if is_right_adjacent(empty.box, header.box, rule="hard"):
+    eh_hard_d = bottom_adjacency_matrix(e_boxes, h_boxes, rule="hard")
+    eh_hard_r = right_adjacency_matrix(e_boxes, h_boxes, rule="hard")
+    for i, empty in enumerate(empties):
+        for j, header in enumerate(headers):
+            if eh_hard_d[i, j] or eh_hard_r[i, j]:
                 dag.add_edge(empty.id, header.id, dir="D")
 
     return list(nx.weakly_connected_components(dag)), dag
 
 
-def is_grid_cluster(nodes):
-    """Grid = >=2 row components and >=2 col components of hard adjacency
-    (reference :190)."""
-    G = nx.DiGraph()
-    cells = nodes["cell"] + nodes["empty"]
-    for cell in cells:
-        G.add_node(cell.id, bbox=cell.box, role=cell.role)
-    for cell1 in cells:
-        for cell2 in cells:
-            if cell1.id == cell2.id:
-                continue
-            if is_bottom_adjacent(cell1.box, cell2.box, rule="hard"):
-                G.add_edge(cell1.id, cell2.id, dir="V")
-            if is_right_adjacent(cell1.box, cell2.box, rule="hard"):
-                G.add_edge(cell1.id, cell2.id, dir="H")
+def _linked_component_count(cells, adj):
+    """Connected components of the undirected graph induced by the true
+    entries of ``adj`` — isolated cells don't count."""
+    pairs = np.argwhere(adj)
+    if pairs.size == 0:
+        return 0
+    from .utils.union_find import UnionFind
 
-    VG = nx.Graph((u, v, d) for u, v, d in G.edges(data=True) if d.get("dir") == "V")
-    HG = nx.Graph((u, v, d) for u, v, d in G.edges(data=True) if d.get("dir") == "H")
+    uf = UnionFind(len(cells))
+    touched = set()
+    for i, j in pairs:
+        uf.union(int(i), int(j))
+        touched.add(int(i))
+        touched.add(int(j))
+    return len({uf.find(i) for i in touched})
+
+
+def is_grid_cluster(nodes):
+    """Grid = the cluster's hard-adjacency relation splits into >=2 row
+    lines and >=2 column lines."""
+    cells = nodes["cell"] + nodes["empty"]
+    boxes = [c.box for c in cells]
+    ids = np.asarray([c.id for c in cells])
+    distinct = ids[:, None] != ids[None, :] if len(cells) else np.zeros((0, 0), bool)
+    hard_v = bottom_adjacency_matrix(boxes, boxes, rule="hard") & distinct
+    hard_h = right_adjacency_matrix(boxes, boxes, rule="hard") & distinct
     return (
-        len(list(nx.connected_components(HG))) > 1
-        and len(list(nx.connected_components(VG))) > 1
+        _linked_component_count(cells, hard_h) > 1
+        and _linked_component_count(cells, hard_v) > 1
     )
 
 
@@ -272,14 +275,17 @@ def _ocr_visualizer(img, outputs, font_path, font_size=12, font_color=(255, 0, 0
 
 
 class TableSemanticParser:
-    def __init__(self, configs=None, device="tpu", visualize=True):
+    def __init__(self, configs=None, device="tpu", visualize=True,
+                 num_devices=None):
         configs = configs or {}
         if not isinstance(configs, dict):
             raise ValueError("configs must be a dict.")
-        table_detector_kwargs = {"device": device, "visualize": visualize}
-        table_cell_parser_kwargs = {"device": device, "visualize": visualize}
-        text_detector_kwargs = {"device": device}
-        text_recognizer_kwargs = {"device": device}
+        table_detector_kwargs = {
+            "device": device, "visualize": visualize, "num_devices": num_devices,
+        }
+        table_cell_parser_kwargs = dict(table_detector_kwargs)
+        text_detector_kwargs = {"device": device, "num_devices": num_devices}
+        text_recognizer_kwargs = dict(text_detector_kwargs)
         table_detector_kwargs.update(configs.get("table_detector", {}))
         table_cell_parser_kwargs.update(configs.get("table_cell_parser", {}))
         text_detector_kwargs.update(configs.get("text_detector", {}))

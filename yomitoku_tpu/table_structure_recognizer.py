@@ -94,9 +94,16 @@ class TableStructureRecognizer(BaseModule):
         visualize=False,
         from_pretrained=True,
         infer_onnx=False,  # API compat
+        num_devices=None,
     ):
         super().__init__()
         self.load_model(model_name, path_cfg, from_pretrained=from_pretrained)
+        if num_devices is not None:
+            from .parallel import dp_mesh
+
+            mesh = dp_mesh(num_devices)
+            if mesh is not None:
+                self.model.use_mesh(mesh)
         self.device = device
         self.visualize = visualize
         self.postprocessor = RTDETRPostProcessor(
@@ -127,11 +134,8 @@ class TableStructureRecognizer(BaseModule):
             )
         return table_imgs
 
-    def postprocess(self, pred_one, data):
-        h, w = data["size"]
-        outputs = self.postprocessor(pred_one, [[w, h]], self.thresh_score)
-        preds = outputs[0]
-
+    def postprocess(self, preds, data):
+        """``preds``: one already-filtered {labels, boxes, scores} dict."""
         category_elements = {c: [] for c in self.label_mapper.values()}
         for box, score, label in zip(
             preds["boxes"], preds["scores"], preds["labels"]
@@ -184,17 +188,14 @@ class TableStructureRecognizer(BaseModule):
         data = self.preprocess(img, table_boxes)
         outputs = []
         if data:
-            # one batched forward over all tables on the page
+            # one batched forward over all tables on the page, one fused
+            # device->host readback for every table's filtered detections
             batch = np.stack([d["array"] for d in data])
             preds = self.model.forward(batch)
-            logits = np.asarray(preds["pred_logits"])
-            boxes = np.asarray(preds["pred_boxes"])
-            for i, d in enumerate(data):
-                pred_one = {
-                    "pred_logits": logits[i : i + 1],
-                    "pred_boxes": boxes[i : i + 1],
-                }
-                table = self.postprocess(pred_one, d)
+            sizes = [[d["size"][1], d["size"][0]] for d in data]
+            filtered = self.postprocessor(preds, sizes, self.thresh_score)
+            for d, one in zip(data, filtered):
+                table = self.postprocess(one, d)
                 if table.n_row > 0 and table.n_col > 0:
                     outputs.append(table)
 

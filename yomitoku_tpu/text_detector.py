@@ -48,9 +48,16 @@ class TextDetector(BaseModule):
         visualize=False,
         from_pretrained=True,
         infer_onnx=False,  # API compat; ONNX path replaced by JAX
+        num_devices=None,
     ):
         super().__init__()
         self.load_model(model_name, path_cfg, from_pretrained=from_pretrained)
+        if num_devices is not None:
+            from .parallel import dp_mesh
+
+            mesh = dp_mesh(num_devices)
+            if mesh is not None:
+                self.model.use_mesh(mesh)
         self.device = device
         self.visualize = visualize
         self.post_processor = DBnetPostProcessor(**self._cfg.post_process)

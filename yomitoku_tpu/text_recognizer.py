@@ -66,9 +66,16 @@ class TextRecognizer(BaseModule):
         infer_onnx=False,  # accepted for API compat; ONNX path replaced by JAX
         rec_orientation_fallback=False,
         rec_orientation_fallback_thresh=0.75,
+        num_devices=None,
     ):
         super().__init__()
         self.load_model(model_name, path_cfg, from_pretrained=from_pretrained)
+        if num_devices is not None:
+            from .parallel import dp_mesh
+
+            mesh = dp_mesh(num_devices)
+            if mesh is not None:
+                self.model.use_mesh(mesh)
         self.charset = load_charset(self._cfg.charset)
         self.tokenizer = Tokenizer(self.charset)
 
