@@ -32,10 +32,15 @@ def _match(native, ref, tol_px=3):
     nq, ns = native
     rq, rs = ref
     assert len(nq) == len(rq), (len(nq), len(rq))
-    # order-invariant matching by nearest centroid
-    rcent = [np.mean(np.array(q), axis=0) for q in rq]
+    # order-invariant matching by nearest (centroid, extent) — extent
+    # disambiguates concentric boxes (e.g. a ring and a blob in its hole)
+    def feat(q):
+        q = np.array(q)
+        return np.concatenate([q.mean(axis=0), q.max(axis=0) - q.min(axis=0)])
+
+    rcent = [feat(q) for q in rq]
     for q, s in zip(nq, ns):
-        c = np.mean(np.array(q), axis=0)
+        c = feat(q)
         d = [np.linalg.norm(c - rc) for rc in rcent]
         j = int(np.argmin(d))
         assert d[j] < tol_px * 2, (c, rcent)
@@ -86,6 +91,55 @@ def test_diagonal_touching_merges():
     prob[20:30, 20:30] = 0.9
     native, _ = _run_both(prob, (60, 60))
     assert len(native[0]) == 1
+
+
+def test_hollow_component_scores_filled_contour():
+    # Ring: the filled-contour score includes the (low-prob) hole, so both
+    # paths agree; a foreground-only score would be biased high.
+    prob = np.zeros((80, 80), np.float32)
+    prob[10:50, 10:50] = 0.9
+    prob[22:38, 22:38] = 0.0  # hole
+    native, ref = _run_both(prob, (80, 80))
+    assert len(native[0]) == 1
+    _match(native, ref)
+    # filled mean = (1600-256)*0.9/1600 = 0.756, not the fg-only 0.9
+    assert abs(native[1][0] - 0.756) < 0.02
+
+
+def test_hollow_component_dropped_at_box_thresh():
+    # Near box_thresh, the hole pulls the filled-contour mean below the
+    # cutoff: both paths must DROP the box (the old foreground-only native
+    # score of 0.55 would have kept it).
+    prob = np.zeros((60, 60), np.float32)
+    prob[10:40, 10:40] = 0.55
+    prob[15:35, 15:35] = 0.0  # large hole: filled mean = 500*0.55/900 ≈ 0.31
+    native, ref = _run_both(prob, (60, 60))
+    assert native[0] == [] and ref[0] == []
+
+
+def test_concave_open_valley_excluded():
+    # U shape: the valley is border-connected background — outside the
+    # filled outer contour, so it must NOT dilute the score on either path.
+    prob = np.zeros((80, 80), np.float32)
+    prob[10:60, 10:20] = 0.9   # left arm
+    prob[10:60, 40:50] = 0.9   # right arm
+    prob[50:60, 10:50] = 0.9   # base
+    native, ref = _run_both(prob, (80, 80))
+    assert len(native[0]) == 1
+    _match(native, ref)
+    assert native[1][0] > 0.85  # valley excluded -> mean stays ~0.9
+
+
+def test_nested_component_in_hole():
+    # A separate blob inside another component's hole: the outer box's
+    # filled contour covers the nested blob's pixels too.
+    prob = np.zeros((100, 100), np.float32)
+    prob[10:70, 10:70] = 0.9
+    prob[25:55, 25:55] = 0.0   # hole
+    prob[35:45, 35:45] = 0.8   # nested blob inside the hole
+    native, ref = _run_both(prob, (100, 100))
+    assert len(native[0]) == 2
+    _match(native, ref)
 
 
 def test_empty_map():

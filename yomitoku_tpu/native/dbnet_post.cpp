@@ -10,9 +10,15 @@
 //   * convex hull (monotone chain) over per-row extremal pixels — every
 //     hull vertex is an x-extreme of its row, so 2 points/row suffice,
 //   * min-area rectangle by rotating calipers over hull edges,
-//   * score = mean probability over the component's foreground pixels
-//     (the reference fills the outer contour polygon; identical for the
-//     solid blobs DBNet produces),
+//   * score = mean probability over the filled outer contour, i.e. the
+//     component's foreground pixels PLUS any pixels lying between two
+//     runs of the component on the same row that are not part of
+//     border-connected background (enclosed holes, nested components) —
+//     this matches the reference's cv2.fillPoly(outer contour) score on
+//     solid, concave, and hollow blobs alike.  (The reference's
+//     RETR_LIST additionally emits each *hole boundary* as its own
+//     candidate contour; those score ≈ the hole's low probabilities and
+//     fall below box_thresh, so they are deliberately not emulated.)
 //   * analytic unclip: grow the rect by d = area*ratio/perimeter with
 //     ratio = unclip_ratio / sqrt(min AABB side), as in the Python path.
 //
@@ -154,10 +160,12 @@ extern "C" int dbnet_boxes(
   // --- 1. run-length connected components (8-connectivity) ------------
   std::vector<Run> runs;
   runs.reserve(1024);
+  std::vector<int> fg_row_start(h + 1, 0);  // runs of row y: [start[y], start[y+1])
   int prev_lo = 0, prev_hi = 0;  // [prev_lo, prev_hi) runs of row-1
   for (int y = 0; y < h; ++y) {
     const float* row = prob + (size_t)y * w;
     int cur_lo = (int)runs.size();
+    fg_row_start[y] = cur_lo;
     int x = 0;
     while (x < w) {
       if (row[x] > thresh) {
@@ -180,6 +188,54 @@ extern "C" int dbnet_boxes(
     prev_lo = cur_lo;
     prev_hi = cur_hi;
   }
+  fg_row_start[h] = (int)runs.size();
+
+  // --- 1b. background runs (4-connectivity), border-connected marking --
+  // Needed for contour-fill scoring: a gap between two foreground runs of
+  // one component is inside the filled outer contour iff its background
+  // is NOT connected to the image border (i.e. it is a hole).
+  std::vector<Run> bg;
+  bg.reserve(runs.size() + h);
+  std::vector<int> bg_row_start(h + 1, 0);
+  std::vector<uint8_t> bg_border;  // per bg run: touches the image border
+  {
+    int bprev_lo = 0, bprev_hi = 0;
+    for (int y = 0; y < h; ++y) {
+      bg_row_start[y] = (int)bg.size();
+      int cur_lo = (int)bg.size();
+      int x = 0;
+      int fi = fg_row_start[y];
+      const int fe = fg_row_start[y + 1];
+      while (x < w) {
+        // skip the foreground run starting at/below x, if any
+        if (fi < fe && runs[fi].x0 <= x) {
+          x = runs[fi].x1 + 1;
+          ++fi;
+          continue;
+        }
+        int x1 = (fi < fe) ? runs[fi].x0 - 1 : w - 1;
+        bg.push_back(Run{y, x, x1, (int)bg.size()});
+        bg_border.push_back(y == 0 || y == h - 1 || x == 0 || x1 == w - 1);
+        x = x1 + 1;
+      }
+      int cur_hi = (int)bg.size();
+      int j = bprev_lo;
+      for (int i = cur_lo; i < cur_hi; ++i) {
+        while (j < bprev_hi && bg[j].x1 < bg[i].x0) ++j;
+        for (int k = j; k < bprev_hi && bg[k].x0 <= bg[i].x1; ++k)
+          unite(bg, i, k);
+      }
+      bprev_lo = cur_lo;
+      bprev_hi = cur_hi;
+    }
+    bg_row_start[h] = (int)bg.size();
+  }
+  // propagate the border flag to roots, then to every run
+  std::vector<uint8_t> bg_outside(bg.size(), 0);
+  for (int i = 0; i < (int)bg.size(); ++i)
+    if (bg_border[i]) bg_outside[find_root(bg, i)] = 1;
+  for (int i = 0; i < (int)bg.size(); ++i)
+    bg_outside[i] = bg_outside[find_root(bg, i)];
 
   // --- 2. gather per-component stats ----------------------------------
   const int nr = (int)runs.size();
@@ -213,13 +269,34 @@ extern "C" int dbnet_boxes(
     // merge runs on the same row first (min/max per row)
     // (runs of a row are disjoint; use each run's endpoints directly —
     //  hull of endpoints == hull of row extremes)
-    for (int ri : rs) {
-      const Run& r = runs[ri];
+    for (size_t ii = 0; ii < rs.size(); ++ii) {
+      const Run& r = runs[rs[ii]];
       pts.push_back({(double)r.x0, (double)r.row});
       pts.push_back({(double)r.x1, (double)r.row});
       const float* rowp = prob + (size_t)r.row * w;
       for (int xx = r.x0; xx <= r.x1; ++xx) psum += rowp[xx];
       cnt += r.x1 - r.x0 + 1;
+      // Contour-fill score: the previous run of this component on the
+      // same row leaves a gap; pixels in it count unless they belong to
+      // border-connected background (run indices are row-major, so the
+      // predecessor in `rs` is the left neighbor when rows match).
+      if (ii == 0) continue;
+      const Run& pr = runs[rs[ii - 1]];
+      if (pr.row != r.row || pr.x1 + 1 >= r.x0) continue;
+      int bi = bg_row_start[r.row];
+      const int be = bg_row_start[r.row + 1];
+      for (int xx = pr.x1 + 1; xx < r.x0; ++xx) {
+        if (rowp[xx] > thresh) {  // another component nested in the gap
+          psum += rowp[xx];
+          ++cnt;
+          continue;
+        }
+        while (bi < be && bg[bi].x1 < xx) ++bi;
+        if (bi < be && bg[bi].x0 <= xx && !bg_outside[bi]) {
+          psum += rowp[xx];
+          ++cnt;
+        }
+      }
     }
     std::vector<Pt> hull = convex_hull(std::move(pts));
     Rect rect;

@@ -37,16 +37,17 @@ class DBnetPostProcessor:
 
       * native (default): C++ run-length CCL + rotating calipers
         (native/dbnet_post.cpp).  Box score = mean probability over the
-        component's FOREGROUND pixels.
+        filled outer contour (foreground pixels + enclosed holes), the
+        same region cv2.fillPoly covers in the reference.
       * cv2 fallback (YOMITOKU_TPU_NO_NATIVE_POST=1, or no C++ toolchain):
         cv2.findContours + minAreaRect; box score = mean over the filled
         outer-contour polygon, as in the reference.
 
-    The score definitions differ on non-solid blobs (interior pixels below
-    the binarization threshold): the native path excludes them, so a box
-    hovering at box_thresh can be kept by one path and dropped by the
-    other.  For the solid blobs DBNet produces they agree (differential
-    tests in tests/test_native_dbnet_post.py).
+    Remaining intentional divergence: the reference's RETR_LIST also emits
+    each hole *boundary* as its own candidate contour; those score around
+    the hole's sub-threshold probabilities and are dropped by box_thresh,
+    so the native path does not emulate them (differential tests in
+    tests/test_native_dbnet_post.py).
     """
 
     _native_ok = None  # class-level tri-state: None=untried, False=failed
