@@ -254,7 +254,11 @@ def convert_rtdetr(sd: dict, model) -> dict:
 
     dec["enc_bbox_head"] = _mlp("decoder.enc_bbox_head", 3)
     dec["query_pos_head"] = _mlp("decoder.query_pos_head", 2)
-    for i in range(cfg.RTDETRTransformerv2.num_layers):
+    num_layers = cfg.RTDETRTransformerv2.num_layers
+    eval_idx = cfg.RTDETRTransformerv2.eval_idx
+    if eval_idx < 0:
+        eval_idx += num_layers
+    for i in range(num_layers):
         p = f"decoder.decoder.layers.{i}"
         dec[f"layers_{i}"] = {
             "self_attn": _packed_mha(r, f"{p}.self_attn", d),
@@ -271,7 +275,12 @@ def convert_rtdetr(sd: dict, model) -> dict:
             "norm3": _layernorm(r, f"{p}.norm3"),
         }
         dec[f"dec_bbox_head_{i}"] = _mlp(f"decoder.dec_bbox_head.{i}", 3)
-        dec[f"dec_score_head_{i}"] = _dense(r, f"decoder.dec_score_head.{i}")
+        # inference evaluates class logits only at eval_idx
+        # (reference rtdetrv2_decoder.py:399,431-443); earlier score heads
+        # are consumed but dropped — our flax decoder never creates them
+        score_head = _dense(r, f"decoder.dec_score_head.{i}")
+        if i == eval_idx:
+            dec[f"dec_score_head_{i}"] = score_head
 
     allowed_unused = (
         "num_batches_tracked",
