@@ -19,6 +19,19 @@ def _cached_analyzer(monkeypatch):
     real_ctor = cli_main.DocumentAnalyzer
 
     def ctor(configs=None, visualize=False, device="tpu", **kw):
+        def _has_path_cfg(d):
+            if isinstance(d, dict):
+                return any(
+                    (k == "path_cfg" and v is not None) or _has_path_cfg(v)
+                    for k, v in d.items()
+                )
+            return False
+
+        if _has_path_cfg(configs):
+            # explicit config paths must reach the real loader (error paths)
+            return real_ctor(
+                configs=configs, visualize=visualize, device=device, **kw
+            )
         key = "analyzer"
         if key not in _ANALYZER_CACHE:
             _ANALYZER_CACHE[key] = real_ctor(
@@ -104,3 +117,34 @@ def test_cli_unsupported_extension(tmp_path):
     with pytest.raises(ValueError):
         _run([f"{DATA}/test.txt", "-f", "md", "-o", str(tmp_path),
               "-d", "cpu"])
+
+
+def test_cli_directory_recursion_swallows_bad_files(tmp_path):
+    """Directory mode processes every file it can and skips the rest
+    (reference cli/main.py:548-549 swallows per-file exceptions)."""
+    import shutil
+
+    indir = tmp_path / "in"
+    sub = indir / "sub"
+    sub.mkdir(parents=True)
+    shutil.copy(f"{DATA}/test.png", indir / "good.png")
+    (indir / "notes.txt").write_text("not an image")
+    (sub / "broken.png").write_bytes(b"\x89PNG\r\n\x1a\nnot really a png")
+    outdir = tmp_path / "out"
+    _run([str(indir), "-f", "json", "-o", str(outdir), "-d", "cpu"])
+    produced = list(outdir.glob("*.json"))
+    assert len(produced) == 1 and "good" in produced[0].name
+
+
+def test_cli_bad_config_path(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        _run([f"{DATA}/test.jpg", "-f", "md", "-o", str(tmp_path),
+              "--td_cfg", "/nonexistent/cfg.yaml", "-d", "cpu"])
+
+
+def test_cli_pages_selection(tmp_path):
+    """--pages limits which PDF pages are processed."""
+    _run([f"{DATA}/test.pdf", "-f", "json", "-o", str(tmp_path),
+          "--pages", "1", "-d", "cpu"])
+    outs = list(tmp_path.glob("*.json"))
+    assert len(outs) == 1 and "_p1" in outs[0].name
