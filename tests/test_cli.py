@@ -148,3 +148,20 @@ def test_cli_pages_selection(tmp_path):
           "--pages", "1", "-d", "cpu"])
     outs = list(tmp_path.glob("*.json"))
     assert len(outs) == 1 and "_p1" in outs[0].name
+
+
+def test_cli_lite_maps_models(tmp_path, monkeypatch):
+    """--lite selects parseq-tiny + the reduced-resolution lite detector
+    (reference maps --lite to parseq-tiny + ONNX CPU DBNet)."""
+    captured = {}
+
+    def spy(configs=None, **kw):
+        captured.update(configs)
+        raise SystemExit  # stop before building models
+
+    monkeypatch.setattr(cli_main, "DocumentAnalyzer", spy)
+    with pytest.raises(SystemExit):
+        _run([f"{DATA}/test.jpg", "-f", "md", "-o", str(tmp_path),
+              "--lite", "-d", "cpu"])
+    assert captured["ocr"]["text_recognizer"]["model_name"] == "parseq-tiny"
+    assert captured["ocr"]["text_detector"]["model_name"] == "dbnetv2_1-lite"

@@ -45,9 +45,16 @@ def test_text_detector_variants():
     from yomitoku_tpu.text_detector import TextDetectorModelCatalog
 
     cat = TextDetectorModelCatalog()
-    for name in ("dbnet", "dbnetv2"):
+    for name in ("dbnet", "dbnetv2", "dbnetv2_1-lite"):
         cfg, variables, n = _shapes(cat, name, dummy_shape=(1, 64, 64, 3))
         assert n > 1e6
+    # lite: same v2_1 weights repo, reduced page resolution
+    lite_cfg_cls, _ = cat.get("dbnetv2_1-lite")
+    full_cfg_cls, _ = cat.get("dbnetv2_1")
+    lite, full = structured(lite_cfg_cls), structured(full_cfg_cls)
+    assert lite.hf_hub_repo == full.hf_hub_repo
+    assert lite.data.shortest_size < full.data.shortest_size
+    assert lite.post_process == full.post_process
     cfg, m = _build(cat, "dbnetv2_1")  # default variant: full forward
     x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
     out = m.forward_binary(x)

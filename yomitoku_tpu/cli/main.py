@@ -316,9 +316,13 @@ def main():
         },
     }
     if args.lite:
-        # lite = small recognizer; the reference's ONNX-on-CPU detector
-        # path maps to the JAX CPU backend
+        # lite = tiny recognizer + reduced-resolution detector (same
+        # weights).  The reference's --lite swaps to parseq-tiny and an
+        # ONNX DBNet on CPU (cli/main.py:505-514); on the JAX CPU backend
+        # the detector conv FLOPs dominate, so the lite variant halves the
+        # page resolution instead.
         configs["ocr"]["text_recognizer"]["model_name"] = "parseq-tiny"
+        configs["ocr"]["text_detector"]["model_name"] = "dbnetv2_1-lite"
     else:
         configs["ocr"]["text_recognizer"]["model_name"] = args.tr_name
         configs["ocr"]["text_detector"]["model_name"] = args.td_name

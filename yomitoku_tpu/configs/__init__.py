@@ -8,6 +8,7 @@ from .text_detector import (
     TextDetectorDBNetConfig,
     TextDetectorDBNetV2Config,
     TextDetectorDBNetV2_1Config,
+    TextDetectorDBNetV2_1LiteConfig,
 )
 from .text_recognizer import (
     TextRecognizerPARSeqConfig,
@@ -29,6 +30,7 @@ __all__ = [
     "TextDetectorDBNetConfig",
     "TextDetectorDBNetV2Config",
     "TextDetectorDBNetV2_1Config",
+    "TextDetectorDBNetV2_1LiteConfig",
     "TextRecognizerPARSeqConfig",
     "TextRecognizerPARSeqTinyConfig",
     "TextRecognizerPARSeqSmallConfig",

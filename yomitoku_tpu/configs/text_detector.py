@@ -71,3 +71,15 @@ class TextDetectorDBNetV2_1Config(TextDetectorDBNetConfig):
             thresh=0.3, box_thresh=0.4, unclip_ratio=3.5
         )
     )
+
+
+@dataclass
+class TextDetectorDBNetV2_1LiteConfig(TextDetectorDBNetV2_1Config):
+    """CPU-efficient variant: same v2_1 weights, reduced input resolution
+    (the reference's --lite runs an ONNX DBNet on CPU,
+    cli/main.py:505-514; on the JAX CPU backend the conv FLOPs dominate,
+    so lite trades page resolution ~2x per side for ~4x detector time)."""
+
+    data: DetData = field(
+        default_factory=lambda: DetData(shortest_size=640, limit_size=960)
+    )

@@ -17,6 +17,7 @@ from .base import BaseModelCatalog, BaseModule
 from .configs import (
     TextDetectorDBNetConfig,
     TextDetectorDBNetV2_1Config,
+    TextDetectorDBNetV2_1LiteConfig,
     TextDetectorDBNetV2Config,
 )
 from .data.functions import (
@@ -35,6 +36,8 @@ class TextDetectorModelCatalog(BaseModelCatalog):
         self.register("dbnet", TextDetectorDBNetConfig, DBNet)
         self.register("dbnetv2", TextDetectorDBNetV2Config, DBNet)
         self.register("dbnetv2_1", TextDetectorDBNetV2_1Config, DBNet)
+        # same v2_1 weights at reduced input resolution (CPU --lite mode)
+        self.register("dbnetv2_1-lite", TextDetectorDBNetV2_1LiteConfig, DBNet)
 
 
 class TextDetector(BaseModule):
