@@ -167,6 +167,9 @@ class PARSeq(JaxModel):
         self._tokens_fn = jax.jit(
             partial(self._forward_tokens, self), static_argnums=(2, 3)
         )
+        self._tokens_page_fn = jax.jit(
+            partial(self._forward_tokens_from_page, self), static_argnums=(4, 5)
+        )
 
     # ------------------------------------------------------------ params
 
@@ -410,6 +413,38 @@ class PARSeq(JaxModel):
             self._tokens_fn(
                 self.dparams,
                 self.place_batch(images),
+                self.decode_ar,
+                int(self.refine_iters),
+            )
+        )
+        return packed[0].astype(np.int32), packed[1]
+
+    @staticmethod
+    def _forward_tokens_from_page(self, params, page, mats, valid_wh,
+                                  decode_ar, refine_iters):
+        """Fused device program: crop all lines out of the uint8 page
+        (one composed projective gather per line — see ops/device_crop.py),
+        normalize, and decode.  The page uploads once per page; only the
+        tiny (B, 3, 3) homographies and the packed (2, B, L) greedy result
+        cross the host boundary per batch."""
+        from ..ops.device_crop import sample_lines
+
+        crops = sample_lines(page, mats, valid_wh, out_hw=self.core.img_size)
+        images = crops * (1.0 / 127.5) - 1.0
+        return PARSeq._forward_tokens(
+            self, params, images, decode_ar, refine_iters
+        )
+
+    def forward_tokens_from_page(self, page, mats, valid_wh):
+        """Host entry: uint8 page (device array or ndarray; pad via
+        ops.device_crop.pad_page first) + (B, 3, 3) canvas->page maps ->
+        (ids, probs)."""
+        packed = np.asarray(
+            self._tokens_page_fn(
+                self.dparams,
+                page,
+                jnp.asarray(np.asarray(mats, np.float32)),
+                jnp.asarray(np.asarray(valid_wh, np.int32)),
                 self.decode_ar,
                 int(self.refine_iters),
             )

@@ -1,0 +1,177 @@
+"""Device-side line cropping for the recognizer.
+
+The reference preprocesses every word quad on the host — perspective warp
+(cv2.warpPerspective), vertical-line rotation, and aspect-preserving
+resize-with-padding (data/dataset.py:33, data/functions.py:301,336,353) —
+then uploads the (N, 32, 800, 3) crop batch.  On this platform that upload
+is the single largest host<->device transfer of a page (~7 MB at N=92),
+and the crop loop is host-CPU bound.
+
+Here the page is uploaded ONCE as uint8 and the whole crop pipeline runs
+on device as one composed projective map per line:
+
+    canvas (32x800) --inverse pad/resize--> rotated crop --undo rotation-->
+    rectified crop --homography--> page
+
+The three stages collapse into a single 3x3 matrix per line, computed on
+the host (cheap: one 4-point homography solve per quad), so the device
+program is a batched bilinear gather.  The resize step approximates the
+host's INTER_AREA shrink with a 2x2 supersampled bilinear tap (exact for
+scale >= 0.5, mild aliasing beyond — recognition-neutral; the host path
+remains available for exact parity via YOMITOKU_TPU_HOST_CROPS=1).
+"""
+
+import cv2
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+#: supersample offsets in canvas pixel space (2x2 box for INTER_AREA-like
+#: shrink filtering)
+_OFFSETS = ((-0.25, -0.25), (-0.25, 0.25), (0.25, -0.25), (0.25, 0.25))
+
+
+def line_homographies(
+    quads, out_hw=(32, 800), thresh_aspect: float = 2.0, rot180: bool = False
+):
+    """Per-quad composed canvas->page homographies.
+
+    Mirrors the host pipeline exactly:
+      * rect dims = (|p0-p1|, |p1-p2|) as ints (extract_roi_with_perspective)
+      * rotate 90deg CCW when h > thresh_aspect * w (rotate_text_image)
+      * shrink-only, top-left anchored fit into out_hw (resize_with_padding)
+
+    rot180 additionally flips the (possibly vertically-rotated) crop by
+    180deg — the recognizer's orientation-fallback retry
+    (text_recognizer.py: cv2.ROTATE_180 on the kept ROI).
+
+    Returns (mats (N, 3, 3) float32, valid (N, 2) int32 [new_w, new_h]).
+    """
+    oh, ow = out_hw
+    mats = np.zeros((len(quads), 3, 3), np.float32)
+    valid = np.zeros((len(quads), 2), np.int32)
+    for i, quad in enumerate(quads):
+        # host path casts quads to int64 before measuring/warping
+        q = np.asarray(quad, dtype=np.int64).astype(np.float64)
+        w = max(int(np.linalg.norm(q[0] - q[1])), 1)
+        h = max(int(np.linalg.norm(q[1] - q[2])), 1)
+        # rect -> page
+        rect = np.float32([[0, 0], [w, 0], [w, h], [0, h]])
+        M_rp = cv2.getPerspectiveTransform(rect, q.astype(np.float32))
+
+        rotated = h > thresh_aspect * w
+        if rotated:
+            # rotated crop (h_rot, w_rot) = (w, h); rotated (x, y) ->
+            # rect (x_r, y_r) = (w - 1 - y, x)
+            R = np.array(
+                [[0.0, -1.0, w - 1.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
+                np.float64,
+            )
+            rw, rh = h, w
+        else:
+            R = np.eye(3)
+            rw, rh = w, h
+
+        if rot180:
+            # rotated-crop coords (x, y) -> (rw - 1 - x, rh - 1 - y)
+            R = R @ np.array(
+                [
+                    [-1.0, 0.0, rw - 1.0],
+                    [0.0, -1.0, rh - 1.0],
+                    [0.0, 0.0, 1.0],
+                ],
+                np.float64,
+            )
+
+        scale = min(1.0, ow / rw, oh / rh)
+        new_w = max(int(rw * scale), 1)
+        new_h = max(int(rh * scale), 1)
+        # cv2.resize maps with per-axis factors rw/new_w (int truncation
+        # makes them differ slightly from 1/scale):
+        # canvas u -> rotated-crop coordinate (u + 0.5) * rw/new_w - 0.5
+        ix = rw / new_w
+        iy = rh / new_h
+        S = np.array(
+            [
+                [ix, 0.0, 0.5 * ix - 0.5],
+                [0.0, iy, 0.5 * iy - 0.5],
+                [0.0, 0.0, 1.0],
+            ],
+            np.float64,
+        )
+        mats[i] = (M_rp.astype(np.float64) @ R @ S).astype(np.float32)
+        valid[i] = (new_w, new_h)
+    return mats, valid
+
+
+def pad_page(page: np.ndarray, align: int = 512):
+    """Pad a (H, W, 3) uint8 page to /align so the crop program compiles
+    for a bounded set of page shapes.  Padding is black; crops never
+    sample it (quads are validated inside the page)."""
+    h, w = page.shape[:2]
+    ph = -(-h // align) * align
+    pw = -(-w // align) * align
+    if (ph, pw) == (h, w):
+        return np.ascontiguousarray(page)
+    out = np.zeros((ph, pw, 3), page.dtype)
+    out[:h, :w] = page
+    return out
+
+
+def sample_lines(page, mats, valid_wh, out_hw=(32, 800), flip_bgr=True):
+    """Jittable: (H, W, 3) uint8 page + (B, 3, 3) canvas->page homographies
+    -> (B, oh, ow, 3) float32 crops in [0, 255] (RGB when flip_bgr).
+
+    2x2 supersampled bilinear gather with border clamping; canvas pixels
+    beyond each line's (new_w, new_h) are zero (black padding).
+    """
+    H, W = page.shape[0], page.shape[1]
+    oh, ow = out_hw
+    B = mats.shape[0]
+    flat = page.reshape(-1, 3)
+
+    yo, xo = jnp.mgrid[0:oh, 0:ow].astype(jnp.float32)  # (oh, ow)
+
+    def gather_bilinear(x, y):
+        # x, y: (B, oh, ow) page coords; clamp-to-border sampling
+        x = jnp.clip(x, 0.0, W - 1.0)
+        y = jnp.clip(y, 0.0, H - 1.0)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[..., None]
+        fy = (y - y0)[..., None]
+        x0 = x0.astype(jnp.int32)
+        y0 = y0.astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, W - 1)
+        y1 = jnp.minimum(y0 + 1, H - 1)
+
+        def tap(yi, xi):
+            return jnp.take(flat, yi * W + xi, axis=0).astype(jnp.float32)
+
+        top = tap(y0, x0) * (1 - fx) + tap(y0, x1) * fx
+        bot = tap(y1, x0) * (1 - fx) + tap(y1, x1) * fx
+        return top * (1 - fy) + bot * fy
+
+    def body(k, acc):
+        du_dv = jnp.asarray(_OFFSETS, jnp.float32)[k]
+        u = xo + du_dv[0]
+        v = yo + du_dv[1]
+        # per-line projective map
+        m = mats[:, None, None, :, :]  # (B, 1, 1, 3, 3)
+        xs = m[..., 0, 0] * u + m[..., 0, 1] * v + m[..., 0, 2]
+        ys = m[..., 1, 0] * u + m[..., 1, 1] * v + m[..., 1, 2]
+        ws = m[..., 2, 0] * u + m[..., 2, 1] * v + m[..., 2, 2]
+        ws = jnp.where(jnp.abs(ws) < 1e-8, 1e-8, ws)
+        return acc + gather_bilinear(xs / ws, ys / ws)
+
+    acc = jax.lax.fori_loop(
+        0, 4, body, jnp.zeros((B, oh, ow, 3), jnp.float32)
+    )
+    crops = acc * 0.25
+    if flip_bgr:
+        crops = crops[..., ::-1]
+    mask = (xo[None] < valid_wh[:, None, None, 0].astype(jnp.float32)) & (
+        yo[None] < valid_wh[:, None, None, 1].astype(jnp.float32)
+    )
+    return jnp.where(mask[..., None], crops, 0.0)

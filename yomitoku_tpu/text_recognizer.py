@@ -12,6 +12,7 @@ fallback.  TPU adaptations:
     host for tokenizer decode.
 """
 
+import os
 import unicodedata
 
 import cv2
@@ -134,6 +135,106 @@ class TextRecognizer(BaseModule):
             offset += len(chunk)
         return preds, scores, directions
 
+    # ------------------------------------------------- device-crop path
+
+    def _use_device_crops(self) -> bool:
+        """Crop lines on device (one page upload + tiny homographies)
+        instead of uploading a host-built crop batch.  Default on real
+        accelerators; the host cv2 path stays the exact-parity reference
+        (and the faster choice on the CPU backend).  Force the host path
+        with YOMITOKU_TPU_HOST_CROPS=1."""
+        if os.environ.get("YOMITOKU_TPU_HOST_CROPS"):
+            return False
+        try:
+            import jax
+
+            return jax.devices()[0].platform != "cpu"
+        except Exception:
+            return False
+
+    def _infer_padded_page(self, page, mats, valid_wh):
+        """Bucket-pad the homography batch and run the fused
+        crop+decode program (models/parseq.py forward_tokens_from_page)."""
+        n = len(mats)
+        target = bucket_batch_size(n, self._cfg.data.batch_size)
+        if n < target:
+            pad = target - n
+            mats = np.concatenate([mats, np.zeros((pad, 3, 3), np.float32)])
+            # zero extents mask the padded lanes to black crops
+            valid_wh = np.concatenate([valid_wh, np.zeros((pad, 2), np.int32)])
+        ids, probs = self.model.forward_tokens_from_page(page, mats, valid_wh)
+        return ids[:n], probs[:n]
+
+    def _run_batch_inference_page(self, page, mats, valid_wh, points):
+        preds, scores, directions = [], [], []
+        bs = self._cfg.data.batch_size
+        for i in range(0, len(mats), bs):
+            ids_probs = self._infer_padded_page(
+                page, mats[i : i + bs], valid_wh[i : i + bs]
+            )
+            p, s, d = self.postprocess(ids_probs, points[i : i + bs])
+            preds.extend(p)
+            scores.extend(s)
+            directions.extend(d)
+        return preds, scores, directions
+
+    def _apply_orientation_fallback_page(self, page, points, preds, scores,
+                                         directions):
+        """Device-path fallback: re-run low-confidence lines 180deg
+        rotated by composing the flip into the crop homography (host path
+        rotates the kept ROI with cv2.ROTATE_180)."""
+        from .ops.device_crop import line_homographies
+
+        retry_indices = [
+            i
+            for i, s in enumerate(scores)
+            if s < self.rec_orientation_fallback_thresh
+        ]
+        if not retry_indices:
+            return
+        retry_points = [points[i] for i in retry_indices]
+        mats, valid_wh = line_homographies(
+            retry_points, tuple(self._cfg.data.img_size), rot180=True
+        )
+        r_preds, r_scores, r_dirs = self._run_batch_inference_page(
+            page, mats, valid_wh, retry_points
+        )
+        for j, idx in enumerate(retry_indices):
+            if (
+                r_scores[j] > scores[idx]
+                and r_scores[j] >= self.rec_orientation_fallback_thresh
+            ):
+                preds[idx] = r_preds[j]
+                scores[idx] = r_scores[j]
+                directions[idx] = r_dirs[j]
+
+    def _call_device(self, img, points):
+        """One page upload; crops, normalization, and decode run as one
+        device program per batch bucket."""
+        import jax.numpy as jnp
+
+        from .data.functions import validate_quads
+        from .ops.device_crop import line_homographies, pad_page
+
+        if points is None:
+            h, w = img.shape[:2]
+            points = [[[0, 0], [w, 0], [w, h], [0, h]]]
+        valid_points = [q for q in points if validate_quads(img, q) is not None]
+        if not valid_points:
+            return [], [], [], []
+        mats, valid_wh = line_homographies(
+            valid_points, tuple(self._cfg.data.img_size)
+        )
+        page = jnp.asarray(pad_page(img))
+        preds, scores, directions = self._run_batch_inference_page(
+            page, mats, valid_wh, valid_points
+        )
+        if self.rec_orientation_fallback:
+            self._apply_orientation_fallback_page(
+                page, valid_points, preds, scores, directions
+            )
+        return preds, scores, directions, valid_points
+
     def _apply_orientation_fallback(self, dataset, points, preds, scores, directions):
         retry_indices = [
             i
@@ -161,15 +262,21 @@ class TextRecognizer(BaseModule):
 
     def __call__(self, img, points=None, vis=None):
         """Recognize text lines in ``img`` at the given quads (BGR image)."""
-        dataset, points = self.preprocess(img, points)
-        valid_points = dataset.valid_quads
-        batch = dataset.as_u8_array()
-        preds, scores, directions = self._run_batch_inference(batch, valid_points)
-
-        if self.rec_orientation_fallback:
-            self._apply_orientation_fallback(
-                dataset, valid_points, preds, scores, directions
+        if self._use_device_crops():
+            preds, scores, directions, valid_points = self._call_device(
+                img, points
             )
+        else:
+            dataset, points = self.preprocess(img, points)
+            valid_points = dataset.valid_quads
+            batch = dataset.as_u8_array()
+            preds, scores, directions = self._run_batch_inference(
+                batch, valid_points
+            )
+            if self.rec_orientation_fallback:
+                self._apply_orientation_fallback(
+                    dataset, valid_points, preds, scores, directions
+                )
 
         outputs = {
             "contents": preds,
