@@ -111,11 +111,23 @@ class _PinnedDetector:
         self._painted = prob
         return prob
 
-    def __call__(self, img):
+    def __call__(self, img, page=None):
         from yomitoku_tpu.schemas import TextDetectorSchema
 
-        tensor = self.det.preprocess_u8(img)
-        binary = self.det.model.forward_binary_u8(tensor)
+        if page is not None:
+            from yomitoku_tpu.data.functions import shortest_edge_size
+
+            out_hw = shortest_edge_size(
+                *img.shape[:2],
+                self.det._cfg.data.shortest_size,
+                self.det._cfg.data.limit_size,
+            )
+            binary = self.det.model.forward_binary_from_page(
+                page.dev, page.hw, out_hw
+            )
+        else:
+            tensor = self.det.preprocess_u8(img)
+            binary = self.det.model.forward_binary_u8(tensor)
         real = np.asarray(binary)  # device->host readback on the real map
         painted = self._paint(real.shape)
         quads, scores = self.det.postprocess(
@@ -166,14 +178,14 @@ class _PinnedLayout:
             )
         return out
 
-    def __call__(self, img):
+    def __call__(self, img, page=None):
         from yomitoku_tpu.schemas import Element, LayoutAnalyzerSchema
 
         # real device + postprocess cost of the layout parser
-        self.layout.layout_parser(img)
+        self.layout.layout_parser(img, page=page)
         # real TSR passes on the two pinned table crops
         self.layout.table_structure_recognizer(
-            img, [spec["box"] for spec in self.tables]
+            img, [spec["box"] for spec in self.tables], page=page
         )
         return (
             LayoutAnalyzerSchema(
@@ -263,11 +275,36 @@ def run_device_composite():
     return det_s, lay_s, rec_s
 
 
+def measure_link():
+    """Host<->device link characteristics.  On this dev platform the TPU
+    sits behind a tunnel with ~50-100 ms round-trip latency and
+    ~10-40 MB/s bandwidth that fluctuates minute-to-minute; e2e wall
+    numbers are transfer-floor-bound and must be read against these.  (A
+    production host's PCIe link is ~3 orders of magnitude faster.)"""
+    import jax
+
+    dev = jax.devices()[0]
+    tiny = np.zeros((8,), np.float32)
+    big = np.random.RandomState(0).rand(1024, 1024).astype(np.float32)
+    lat, bw = [], []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(jax.device_put(tiny, dev))
+        lat.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(jax.device_put(big, dev))
+        bw.append(time.perf_counter() - t0)
+    lat_ms = min(lat) * 1e3
+    bw_mbs = 2 * big.nbytes / 1e6 / max(min(bw) - min(lat), 1e-6)
+    return round(lat_ms, 1), round(bw_mbs, 1)
+
+
 def main():
     from yomitoku_tpu.base import enable_compilation_cache
 
     enable_compilation_cache()
 
+    link_lat_ms, link_bw_mbs = measure_link()
     page_s, latency_s, workload = run_e2e()
     pages_per_sec = 1.0 / page_s
 
@@ -290,6 +327,8 @@ def main():
                 "detail": {
                     "e2e_pipelined_page_ms": round(page_s * 1e3, 1),
                     "e2e_single_page_latency_ms": round(latency_s * 1e3, 1),
+                    "link_roundtrip_ms": link_lat_ms,
+                    "link_bandwidth_mb_s": link_bw_mbs,
                     "workload": workload,
                     "device_composite_pages_per_sec": round(
                         1.0 / device_page_s, 2

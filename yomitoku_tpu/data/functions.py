@@ -16,12 +16,10 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
-def resize_shortest_edge(
-    img: np.ndarray, shortest_edge_length: int, max_length: int
-) -> np.ndarray:
-    """Resize so the short side hits ``shortest_edge_length`` (long side capped
-    at ``max_length``), then snap both dims down to multiples of 32."""
-    h, w = img.shape[:2]
+def shortest_edge_size(
+    h: int, w: int, shortest_edge_length: int, max_length: int
+):
+    """Target (newh, neww) of resize_shortest_edge without resizing."""
     scale = shortest_edge_length / min(h, w)
     if h < w:
         new_h, new_w = shortest_edge_length, int(w * scale)
@@ -34,6 +32,16 @@ def resize_shortest_edge(
 
     neww = max(int(new_w / 32) * 32, 32)
     newh = max(int(new_h / 32) * 32, 32)
+    return newh, neww
+
+
+def resize_shortest_edge(
+    img: np.ndarray, shortest_edge_length: int, max_length: int
+) -> np.ndarray:
+    """Resize so the short side hits ``shortest_edge_length`` (long side capped
+    at ``max_length``), then snap both dims down to multiples of 32."""
+    h, w = img.shape[:2]
+    newh, neww = shortest_edge_size(h, w, shortest_edge_length, max_length)
     return cv2.resize(img, (neww, newh), interpolation=cv2.INTER_AREA)
 
 

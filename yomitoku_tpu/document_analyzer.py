@@ -475,11 +475,16 @@ class DocumentAnalyzer:
         }
 
     async def run(self, img):
+        from .ops.device_crop import DevicePage, device_crops_enabled
+
+        # one uint8 page upload shared by detector, layout, TSR, and
+        # recognizer programs (each otherwise uploads its own resize/crops)
+        page = DevicePage(img) if device_crops_enabled() else None
         with ThreadPoolExecutor(max_workers=2) as executor:
             loop = asyncio.get_running_loop()
             tasks = [
-                loop.run_in_executor(executor, self.text_detector, img),
-                loop.run_in_executor(executor, self.layout, img),
+                loop.run_in_executor(executor, self.text_detector, img, page),
+                loop.run_in_executor(executor, self.layout, img, page),
             ]
             results = await asyncio.gather(*tasks)
             results_det, _ = results[0]
@@ -495,7 +500,7 @@ class DocumentAnalyzer:
                 vis_det = det_visualizer(img, results_det.points)
 
             results_rec, ocr = self.text_recognizer(
-                img, results_det.points, vis_det
+                img, results_det.points, vis_det, page=page
             )
             results_ocr = OCRSchema(words=ocr_aggregate(results_det, results_rec))
             outputs = self.aggregate(results_ocr, results_layout)

@@ -23,11 +23,11 @@ class LayoutAnalyzer:
         self.layout_parser = LayoutParser(**lp_kwargs)
         self.table_structure_recognizer = TableStructureRecognizer(**tsr_kwargs)
 
-    def __call__(self, img):
-        layout_results, vis = self.layout_parser(img)
+    def __call__(self, img, page=None):
+        layout_results, vis = self.layout_parser(img, page=page)
         table_boxes = [table.box for table in layout_results.tables]
         table_results, vis = self.table_structure_recognizer(
-            img, table_boxes, vis=vis
+            img, table_boxes, vis=vis, page=page
         )
         return (
             LayoutAnalyzerSchema(

@@ -150,10 +150,20 @@ class LayoutParser(BaseModule):
         )
         return category_elements
 
-    def __call__(self, img):
+    def __call__(self, img, page=None):
         ori_h, ori_w = img.shape[:2]
-        tensor = self.preprocess(img)
-        preds = self.model.forward(tensor)
+        if page is not None:
+            from .ops.device_crop import region_mats
+
+            mats, _ = region_mats(
+                [(0, 0, ori_w, ori_h)], tuple(self._cfg.data.img_size)
+            )
+            preds = self.model.forward_from_page(
+                page.dev, mats, tuple(self._cfg.data.img_size)
+            )
+        else:
+            tensor = self.preprocess(img)
+            preds = self.model.forward(tensor)
         results = self.postprocess(preds, (ori_h, ori_w))
 
         vis = None

@@ -178,6 +178,9 @@ class DBNet(JaxModel):
         self.core = DBNetCore(hidden_dim=cfg.decoder.hidden_dim, dtype=self.dtype)
         self._fwd = jax.jit(partial(self._forward, self))
         self._fwd_u8 = jax.jit(partial(self._forward_u8, self))
+        self._fwd_page = jax.jit(
+            partial(self._forward_from_page, self), static_argnums=(3,)
+        )
 
     @staticmethod
     def _forward(self, params, images):
@@ -202,6 +205,37 @@ class DBNet(JaxModel):
         # readback bandwidth is ~44 MB/s on this platform).  <=1/510
         # probability quantization vs the 0.3/0.4 thresholds.
         return jnp.clip(jnp.rint(prob * 255.0), 0, 255).astype(jnp.uint8)
+
+    @staticmethod
+    def _forward_from_page(self, params, page, mat, out_hw):
+        """Fused device program: resize the uint8 page (2x2-supersampled
+        bilinear ~ cv2 INTER_AREA) + standardize + DBNet forward.  The
+        page buffer is shared with the other modules — only the prob map
+        crosses back to the host."""
+        from ..ops.device_crop import sample_lines
+
+        oh, ow = out_hw
+        valid = jnp.asarray([[ow, oh]], jnp.int32)
+        x = sample_lines(page, mat, valid, out_hw=out_hw, flip_bgr=False)
+        from ..data.functions import IMAGENET_MEAN, IMAGENET_STD
+
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
+        inv = 1.0 / (jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0)
+        x = (x - mean) * inv
+        prob = self.core.apply(params, x.astype(self.dtype))[..., 0]
+        return jnp.clip(jnp.rint(prob * 255.0), 0, 255).astype(jnp.uint8)
+
+    def forward_binary_from_page(self, page, src_hw, out_hw):
+        """uint8 device page (padded) -> (1, oh, ow) float32 prob map;
+        src_hw is the original (unpadded) page size."""
+        from ..ops.device_crop import region_mats
+
+        h, w = src_hw
+        mat, _ = region_mats([(0, 0, w, h)], out_hw)
+        out = self._fwd_page(
+            self.dparams, page, jnp.asarray(mat), tuple(out_hw)
+        )
+        return np.asarray(out).astype(np.float32) * (1.0 / 255.0)
 
     def forward_binary(self, images: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) standardized float32 -> (B, H, W) prob map."""

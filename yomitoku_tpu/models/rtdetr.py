@@ -89,6 +89,30 @@ class RTDETRv2(JaxModel):
         {"pred_logits": (B, Q, C), "pred_boxes": (B, Q, 4)} on device."""
         return self._fwd(self.dparams, self.place_batch(images))
 
+    @staticmethod
+    def _forward_from_page(self, params, page, mats, out_hw):
+        """Fused device program: crop+resize the page regions (RGB,
+        supersampled bilinear ~ the host's crop + cv2 INTER_AREA) and run
+        the detector — the shared page buffer never leaves the device."""
+        from ..ops.device_crop import sample_lines
+
+        oh, ow = out_hw
+        valid = jnp.tile(jnp.asarray([[ow, oh]], jnp.int32), (mats.shape[0], 1))
+        x = sample_lines(page, mats, valid, out_hw=out_hw, flip_bgr=True)
+        x = x.astype(self.dtype) * (1.0 / 255.0)
+        return self.core.apply(params, x)
+
+    def forward_from_page(self, page, mats, out_hw):
+        """uint8 device page + (B, 3, 3) region maps -> detector outputs
+        (device arrays, same contract as forward())."""
+        if not hasattr(self, "_fwd_page"):
+            self._fwd_page = jax.jit(
+                partial(self._forward_from_page, self), static_argnums=(3,)
+            )
+        return self._fwd_page(
+            self.dparams, page, jnp.asarray(mats), tuple(out_hw)
+        )
+
     def init_params(self, seed: int = 0):
         from .base import on_host_cpu
 

@@ -46,7 +46,12 @@ class OCR:
 
     def __call__(self, img):
         """Run OCR on a BGR image -> (OCRSchema, vis)."""
-        det_outputs, vis = self.detector(img)
-        rec_outputs, vis = self.recognizer(img, det_outputs.points, vis=vis)
+        from .ops.device_crop import DevicePage, device_crops_enabled
+
+        page = DevicePage(img) if device_crops_enabled() else None
+        det_outputs, vis = self.detector(img, page=page)
+        rec_outputs, vis = self.recognizer(
+            img, det_outputs.points, vis=vis, page=page
+        )
         words = ocr_aggregate(det_outputs, rec_outputs)
         return OCRSchema(words=words), vis

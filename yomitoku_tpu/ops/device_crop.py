@@ -119,12 +119,75 @@ def pad_page(page: np.ndarray, align: int = 512):
     return out
 
 
-def sample_lines(page, mats, valid_wh, out_hw=(32, 800), flip_bgr=True):
+def region_mats(regions, out_hw):
+    """Axis-aligned page regions (x1, y1, x2, y2) -> canvas->page affine
+    maps for an INTER_AREA-style resize to out_hw (the layout/TSR/cell
+    detector preprocess: crop + cv2.resize INTER_AREA).
+
+    Returns (mats (N, 3, 3) float32, valid (N, 2) int32 = full canvas).
+    """
+    oh, ow = out_hw
+    mats = np.zeros((len(regions), 3, 3), np.float32)
+    for i, (x1, y1, x2, y2) in enumerate(regions):
+        sx = (x2 - x1) / ow
+        sy = (y2 - y1) / oh
+        mats[i] = np.array(
+            [
+                [sx, 0.0, x1 + 0.5 * sx - 0.5],
+                [0.0, sy, y1 + 0.5 * sy - 0.5],
+                [0.0, 0.0, 1.0],
+            ],
+            np.float32,
+        )
+    valid = np.tile(np.int32([ow, oh]), (len(regions), 1))
+    return mats, valid
+
+
+def device_crops_enabled() -> bool:
+    """Device-side crops/resizes are the default on real accelerators;
+    the host cv2 path remains the exact-parity reference (and the faster
+    choice on the CPU backend).  YOMITOKU_TPU_HOST_CROPS=1 forces host."""
+    import os
+
+    if os.environ.get("YOMITOKU_TPU_HOST_CROPS"):
+        return False
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
+class DevicePage:
+    """One uint8 BGR page uploaded once and shared by detector, layout,
+    TSR/cell, and recognizer programs, so the page image crosses the
+    host<->device link exactly once.
+
+    The exact-size page is uploaded and padded to a /align shape bucket
+    ON DEVICE (a trivial pad op that recompiles per page size, while the
+    big fused programs compile once per bucket) — the padding bytes never
+    cross the link."""
+
+    def __init__(self, img_bgr: np.ndarray, align: int = 512):
+        h, w = img_bgr.shape[:2]
+        self.hw = (h, w)
+        ph = -(-h // align) * align
+        pw = -(-w // align) * align
+        dev = jnp.asarray(np.ascontiguousarray(img_bgr))
+        if (ph, pw) != (h, w):
+            dev = jax.jit(
+                lambda x: jnp.pad(x, ((0, ph - h), (0, pw - w), (0, 0)))
+            )(dev)
+        self.dev = dev
+
+
+def sample_lines(page, mats, valid_wh, out_hw=(32, 800), flip_bgr=True,
+                 supersample=True):
     """Jittable: (H, W, 3) uint8 page + (B, 3, 3) canvas->page homographies
     -> (B, oh, ow, 3) float32 crops in [0, 255] (RGB when flip_bgr).
 
-    2x2 supersampled bilinear gather with border clamping; canvas pixels
-    beyond each line's (new_w, new_h) are zero (black padding).
+    2x2 supersampled bilinear gather with border clamping (single tap when
+    supersample=False); canvas pixels beyond each line's (new_w, new_h)
+    are zero (black padding).
     """
     H, W = page.shape[0], page.shape[1]
     oh, ow = out_hw
@@ -153,10 +216,9 @@ def sample_lines(page, mats, valid_wh, out_hw=(32, 800), flip_bgr=True):
         bot = tap(y1, x0) * (1 - fx) + tap(y1, x1) * fx
         return top * (1 - fy) + bot * fy
 
-    def body(k, acc):
-        du_dv = jnp.asarray(_OFFSETS, jnp.float32)[k]
-        u = xo + du_dv[0]
-        v = yo + du_dv[1]
+    def sample_at(duv, acc):
+        u = xo + duv[0]
+        v = yo + duv[1]
         # per-line projective map
         m = mats[:, None, None, :, :]  # (B, 1, 1, 3, 3)
         xs = m[..., 0, 0] * u + m[..., 0, 1] * v + m[..., 0, 2]
@@ -165,10 +227,15 @@ def sample_lines(page, mats, valid_wh, out_hw=(32, 800), flip_bgr=True):
         ws = jnp.where(jnp.abs(ws) < 1e-8, 1e-8, ws)
         return acc + gather_bilinear(xs / ws, ys / ws)
 
-    acc = jax.lax.fori_loop(
-        0, 4, body, jnp.zeros((B, oh, ow, 3), jnp.float32)
-    )
-    crops = acc * 0.25
+    zero = jnp.zeros((B, oh, ow, 3), jnp.float32)
+    if supersample:
+        offsets = jnp.asarray(_OFFSETS, jnp.float32)
+        acc = jax.lax.fori_loop(
+            0, 4, lambda k, a: sample_at(offsets[k], a), zero
+        )
+        crops = acc * 0.25
+    else:  # single centered tap (plain bilinear)
+        crops = sample_at(jnp.zeros((2,), jnp.float32), zero)
     if flip_bgr:
         crops = crops[..., ::-1]
     mask = (xo[None] < valid_wh[:, None, None, 0].astype(jnp.float32)) & (

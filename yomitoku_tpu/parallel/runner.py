@@ -30,16 +30,20 @@ class DataParallel:
     >>> out = run(batch)          # batch (N, ...) -> out (N, ...)
     """
 
-    def __init__(self, mesh, fn, params):
+    def __init__(self, mesh, fn, params, batch_axis: int = 0):
         self.mesh = mesh
         self.fn = fn
         self.params = jax.device_put(params, replicated(mesh))
+        # axis of the OUTPUT that carries the batch (e.g. PARSeq's packed
+        # (2, B, L) greedy result has it on axis 1)
+        self.batch_axis = batch_axis
 
     def __call__(self, batch: np.ndarray, *static_args):
         sharded, n = shard_batch(self.mesh, np.asarray(batch))
         with self.mesh:
             out = self.fn(self.params, sharded, *static_args)
-        return jax.tree.map(lambda x: np.asarray(x)[:n], out)
+        idx = (slice(None),) * self.batch_axis + (slice(0, n),)
+        return jax.tree.map(lambda x: np.asarray(x)[idx], out)
 
 
 def dp_pages(model, pages: np.ndarray, n_devices=None, forward="_fwd"):

@@ -302,12 +302,44 @@ class CellDetector(BaseModule):
                     )
         return cells
 
-    def __call__(self, img, tables):
-        data = self.preprocess(img, tables)
+    def _preprocess_meta(self, img, tables):
+        """Page-path preprocess: sizes/offsets only (crop+resize on device)."""
+        h, w = img.shape[:2]
+        out = []
+        for table in tables:
+            x1, y1, x2, y2 = map(int, table.box)
+            x1, y1 = max(0, x1), max(0, y1)
+            x2, y2 = min(w, x2), min(h, y2)
+            out.append({"size": (y2 - y1, x2 - x1), "offset": (x1, y1)})
+        return out
+
+    def __call__(self, img, tables, page=None):
+        data = (
+            self._preprocess_meta(img, tables)
+            if page is not None
+            else self.preprocess(img, tables)
+        )
         outputs = []
         if data:
-            batch = np.stack([d["array"] for d in data])
-            preds = self.model.forward(batch)
+            if page is not None:
+                from .ops.device_crop import region_mats
+
+                out_hw = tuple(self._cfg.data.img_size)
+                regions = [
+                    (d["offset"][0], d["offset"][1],
+                     d["offset"][0] + d["size"][1],
+                     d["offset"][1] + d["size"][0])
+                    for d in data
+                ]
+                n = len(regions)
+                target = next(b for b in (1, 2, 4, 8, 16, 64) if n <= b)
+                regions += [(0, 0, 1, 1)] * (target - n)
+                mats, _ = region_mats(regions, out_hw)
+                preds = self.model.forward_from_page(page.dev, mats, out_hw)
+                preds = {k: v[:n] for k, v in preds.items()}
+            else:
+                batch = np.stack([d["array"] for d in data])
+                preds = self.model.forward(batch)
             sizes = [[d["size"][1], d["size"][0]] for d in data]
             filtered = self.postprocessor(preds, sizes, self.thresh_score)
             for one, (d, table) in zip(filtered, zip(data, tables)):

@@ -358,22 +358,29 @@ class TableSemanticParser:
         return new_table_list
 
     async def run_models(self, img):
+        from .ops.device_crop import DevicePage, device_crops_enabled
+
+        page = DevicePage(img) if device_crops_enabled() else None
         with ThreadPoolExecutor(max_workers=2) as executor:
             loop = asyncio.get_running_loop()
             tasks = [
-                loop.run_in_executor(executor, self.text_detector, img),
-                loop.run_in_executor(executor, self.layout_parser, img),
+                loop.run_in_executor(executor, self.text_detector, img, page),
+                loop.run_in_executor(executor, self.layout_parser, img, page),
             ]
             results = await asyncio.gather(*tasks)
         results_det, _ = results[0]
         results_layout, _ = results[1]
 
-        results_table = self.cell_detector(img, list(results_layout.tables))
+        results_table = self.cell_detector(
+            img, list(results_layout.tables), page=page
+        )
         results_table = self.replace_table_to_paragraphs(
             results_table, results_layout.paragraphs
         )
 
-        results_rec, _ = self.text_recognizer(img, results_det.points)
+        results_rec, _ = self.text_recognizer(
+            img, results_det.points, page=page
+        )
         results_ocr = OCRSchema(words=ocr_aggregate(results_det, results_rec))
         return results_ocr, results_table, results_layout.paragraphs
 

@@ -184,14 +184,49 @@ class TableStructureRecognizer(BaseModule):
         spans = sorted(elements["span"], key=lambda x: x["box"][1])
         return cells, rows, cols, spans
 
-    def __call__(self, img, table_boxes, vis=None):
-        data = self.preprocess(img, table_boxes)
+    def _preprocess_meta(self, img, boxes):
+        """Page-path preprocess: sizes/offsets only — the crop+resize runs
+        on device (no host cv2 work, no crop upload)."""
+        h, w = img.shape[:2]
+        out = []
+        for box in boxes:
+            x1, y1, x2, y2 = map(int, box)
+            # mirror the host path's implicit clamp (array slicing)
+            x1, y1 = max(0, x1), max(0, y1)
+            x2, y2 = min(w, x2), min(h, y2)
+            out.append({"size": (y2 - y1, x2 - x1), "offset": (x1, y1)})
+        return out
+
+    def __call__(self, img, table_boxes, vis=None, page=None):
+        data = (
+            self._preprocess_meta(img, table_boxes)
+            if page is not None
+            else self.preprocess(img, table_boxes)
+        )
         outputs = []
         if data:
             # one batched forward over all tables on the page, one fused
             # device->host readback for every table's filtered detections
-            batch = np.stack([d["array"] for d in data])
-            preds = self.model.forward(batch)
+            if page is not None:
+                from .ops.device_crop import region_mats
+
+                out_hw = tuple(self._cfg.data.img_size)
+                regions = []
+                for d in data:
+                    x1, y1 = d["offset"]
+                    regions.append(
+                        (x1, y1, x1 + d["size"][1], y1 + d["size"][0])
+                    )
+                # bucket the table count to bound compiled program shapes
+                n = len(regions)
+                target = next(b for b in (1, 2, 4, 8, 16, 64) if n <= b)
+                regions += [(0, 0, 1, 1)] * (target - n)
+                mats, _ = region_mats(regions, out_hw)
+                preds = self.model.forward_from_page(page.dev, mats, out_hw)
+                preds = {k: v[:n] for k, v in preds.items()}
+            else:
+                batch = np.stack([d["array"] for d in data])
+                preds = self.model.forward(batch)
             sizes = [[d["size"][1], d["size"][0]] for d in data]
             filtered = self.postprocessor(preds, sizes, self.thresh_score)
             for d, one in zip(data, filtered):

@@ -96,11 +96,24 @@ class TextDetector(BaseModule):
     def postprocess(self, preds, image_size):
         return self.post_processor(preds, image_size)
 
-    def __call__(self, img):
-        """Detect text quads in a BGR image."""
+    def __call__(self, img, page=None):
+        """Detect text quads in a BGR image.  When ``page`` (a shared
+        ops.device_crop.DevicePage) is given, the resize + normalization
+        run on device from the already-uploaded page buffer."""
         ori_h, ori_w = img.shape[:2]
-        tensor = self.preprocess_u8(img)
-        binary = self.model.forward_binary_u8(tensor)  # (1, H, W)
+        if page is not None:
+            from .data.functions import shortest_edge_size
+
+            out_hw = shortest_edge_size(
+                ori_h, ori_w,
+                self._cfg.data.shortest_size, self._cfg.data.limit_size,
+            )
+            binary = self.model.forward_binary_from_page(
+                page.dev, page.hw, out_hw
+            )
+        else:
+            tensor = self.preprocess_u8(img)
+            binary = self.model.forward_binary_u8(tensor)  # (1, H, W)
         preds = {"binary": binary}
         quads, scores = self.postprocess(preds, (ori_h, ori_w))
         results = TextDetectorSchema(points=quads, scores=scores)

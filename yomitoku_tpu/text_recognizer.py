@@ -208,9 +208,10 @@ class TextRecognizer(BaseModule):
                 scores[idx] = r_scores[j]
                 directions[idx] = r_dirs[j]
 
-    def _call_device(self, img, points):
-        """One page upload; crops, normalization, and decode run as one
-        device program per batch bucket."""
+    def _call_device(self, img, points, page=None):
+        """One page upload (or a shared, already-uploaded DevicePage);
+        crops, normalization, and decode run as one device program per
+        batch bucket."""
         import jax.numpy as jnp
 
         from .data.functions import validate_quads
@@ -225,7 +226,7 @@ class TextRecognizer(BaseModule):
         mats, valid_wh = line_homographies(
             valid_points, tuple(self._cfg.data.img_size)
         )
-        page = jnp.asarray(pad_page(img))
+        page = page.dev if page is not None else jnp.asarray(pad_page(img))
         preds, scores, directions = self._run_batch_inference_page(
             page, mats, valid_wh, valid_points
         )
@@ -260,11 +261,11 @@ class TextRecognizer(BaseModule):
                 scores[idx] = r_scores[j]
                 directions[idx] = r_dirs[j]
 
-    def __call__(self, img, points=None, vis=None):
+    def __call__(self, img, points=None, vis=None, page=None):
         """Recognize text lines in ``img`` at the given quads (BGR image)."""
         if self._use_device_crops():
             preds, scores, directions, valid_points = self._call_device(
-                img, points
+                img, points, page
             )
         else:
             dataset, points = self.preprocess(img, points)
