@@ -149,6 +149,34 @@ class MultiHeadAttention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, H * Dh).astype(self.dtype)
         return self._dense(self.out_proj, out)
 
+    def attend_int8(self, q, kq, sk, vq, sv):
+        """Attend against an int8-quantized K/V cache with per-(batch,
+        head) symmetric scales (``quantize_kv_int8``).
+
+        Built for the PARSeq AR decode loop, whose per-step floor is the
+        HBM read of the loop-invariant cross-attention K/V over the
+        encoder memory (~157 MB/step at batch 128): int8 halves that
+        traffic vs bf16.  The K scale folds into the query (one tiny
+        multiply), the V scale folds into the attention output before
+        the out-projection; dequantization is an in-register upconvert
+        fused into the matmul reads, so the caches stay int8 in HBM.
+        """
+        scale = q.shape[-1] ** -0.5
+        qs = (q.astype(jnp.float32) * (sk * scale)).astype(self.dtype)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", qs, kq.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        weights = nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", weights, vq.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        out = out * sv
+        B, H, Lq, Dh = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, H * Dh).astype(self.dtype)
+        return self._dense(self.out_proj, out)
+
     # -- fused entry ------------------------------------------------------
 
     def __call__(
@@ -217,6 +245,28 @@ class MultiHeadAttention(nn.Module):
             mask = kp if mask is None else jnp.logical_or(mask, kp)
 
         return self.attend(q, k, v, mask)
+
+
+def quantize_kv_int8(k, v):
+    """Symmetric per-(batch, head) int8 quantization of a K/V pair
+    ((B, H, L, Dh) each) -> (kq, sk, vq, sv) with float32 scales of shape
+    (B, H, 1, 1).  Loop-invariant caches quantized once at cache-build
+    time; ``MultiHeadAttention.attend_int8`` consumes the tuple."""
+
+    def q8(x):
+        s = (
+            jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(2, 3), keepdims=True)
+            / 127.0
+        )
+        s = jnp.maximum(s, 1e-8)
+        q = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / s), -127, 127
+        ).astype(jnp.int8)
+        return q, s
+
+    kq, sk = q8(k)
+    vq, sv = q8(v)
+    return kq, sk, vq, sv
 
 
 class _DenseParams(nn.Module):

@@ -57,13 +57,24 @@ class TwoStreamDecoderLayer(nn.Module):
         """Loop-invariant cross-attention K/V: (B, H, M, Dh) x2."""
         return self.cross_attn.project_kv(memory, memory)
 
+    def memory_kv_int8(self, memory):
+        """int8-quantized cross-attention K/V cache (halves the dominant
+        per-decode-step HBM read; see attention.quantize_kv_int8)."""
+        from .attention import quantize_kv_int8
+
+        km, vm = self.cross_attn.project_kv(memory, memory)
+        return quantize_kv_int8(km, vm)
+
     def content_kv(self, rows):
         """Self-attention K/V for new content rows: (B, H, r, Dh) x2."""
         c = self.norm_c(rows)
         return self.self_attn.project_kv(c, c)
 
     def query_step(self, query, kc, vc, km, vm, query_mask=None):
-        """Query-stream update against cached K/V (no content update)."""
+        """Query-stream update against cached K/V (no content update).
+
+        ``km`` may be an int8 cache tuple (kq, sk, vq, sv) from
+        ``memory_kv_int8`` (then ``vm`` is ignored)."""
         mask = None
         if query_mask is not None:
             m = query_mask
@@ -72,9 +83,11 @@ class TwoStreamDecoderLayer(nn.Module):
             self.self_attn.project_q(self.norm_q(query)), kc, vc, mask
         )
         tgt = query + h
-        h = self.cross_attn.attend(
-            self.cross_attn.project_q(self.norm1(tgt)), km, vm
-        )
+        q2 = self.cross_attn.project_q(self.norm1(tgt))
+        if isinstance(km, tuple):
+            h = self.cross_attn.attend_int8(q2, *km)
+        else:
+            h = self.cross_attn.attend(q2, km, vm)
         tgt = tgt + h
         return tgt + self.mlp(self.norm2(tgt))
 
@@ -146,6 +159,9 @@ class TwoStreamDecoder(nn.Module):
 
     def ar_memory_kv(self, memory):
         return self.layers[0].memory_kv(memory)
+
+    def ar_memory_kv_int8(self, memory):
+        return self.layers[0].memory_kv_int8(memory)
 
     def ar_content_kv(self, rows):
         return self.layers[0].content_kv(rows)

@@ -119,6 +119,9 @@ class PARSeqCore(nn.Module):
     def memory_kv(self, memory):
         return self.decoder.ar_memory_kv(memory)
 
+    def memory_kv_int8(self, memory):
+        return self.decoder.ar_memory_kv_int8(memory)
+
     def content_kv_rows(self, rows):
         return self.decoder.ar_content_kv(rows)
 
@@ -131,6 +134,22 @@ class PARSeqCore(nn.Module):
     def decode_step(self, query, kc, vc, km, vm, mask_row):
         out = self.decoder.ar_query_step(query, kc, vc, km, vm, mask_row)
         return self.head(out)
+
+
+def _int8_kv_default() -> bool:
+    """int8 cross-attention K/V cache in the AR decode loop: on by
+    default on TPU (same policy as the bf16 compute dtype — the decode
+    loop is HBM-bound and the quantization error is below bf16 noise at
+    the logit level), off on CPU where exact f32 parity with the torch
+    mirrors is the point.  YOMITOKU_TPU_INT8_KV=1/0 forces."""
+    import os
+
+    env = os.environ.get("YOMITOKU_TPU_INT8_KV")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 class PARSeq(JaxModel):
@@ -146,6 +165,7 @@ class PARSeq(JaxModel):
         self.bos_id = cfg.num_tokens - 2
         self.pad_id = cfg.num_tokens - 1
         self.dtype = dtype or default_compute_dtype()
+        self.int8_kv = _int8_kv_default()
         self.core = PARSeqCore(
             num_tokens=cfg.num_tokens,
             max_label_length=cfg.max_label_length,
@@ -238,7 +258,14 @@ class PARSeq(JaxModel):
                 # Fast path: K/V caches.  Cross-attn K/V over memory is
                 # loop-invariant; content K/V grows one row per step
                 # (rows > i are zero but masked by the causal row).
-                km, vm = apply("memory_kv", memory)
+                if self.int8_kv:
+                    # int8 memory K/V: the per-step HBM read of this
+                    # loop-invariant cache is the decode-loop floor;
+                    # int8 halves it (see attention.attend_int8).
+                    km = apply("memory_kv_int8", memory)
+                    vm = None
+                else:
+                    km, vm = apply("memory_kv", memory)
                 nh = core.dec_num_heads
                 dh = core.dec_embed_dim // nh
                 kc0 = jnp.zeros((B, nh, L, dh), self.dtype)
