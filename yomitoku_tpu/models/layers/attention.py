@@ -13,6 +13,7 @@ decoders can hoist loop-invariant K/V projections out of the decode loop
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -76,6 +77,21 @@ def _use_fused_packed(query, key, num_heads) -> bool:
         and Lk <= 1024
         and Lk % 8 == 0
     )
+
+
+def layer_norm(x, scale, bias, eps, dtype):
+    """LayerNorm with linen semantics (float32 statistics, fast
+    variance): used by the pre-LN fused sublayers and their fallback so
+    both paths share one definition."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0
+    )
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (
+        y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    ).astype(dtype)
 
 
 def scaled_dot_attention(q, k, v, mask=None, dtype=jnp.float32):
@@ -186,7 +202,42 @@ class MultiHeadAttention(nn.Module):
         value,
         attn_mask: Optional[jnp.ndarray] = None,
         key_padding_mask: Optional[jnp.ndarray] = None,
+        pre_ln: Optional[tuple] = None,
     ):
+        if pre_ln is not None:
+            # Pre-LN sublayer contract: return x + attn(LayerNorm(x)).
+            # Folding LN + residual into the fused block kernel removes
+            # two (B, L, D) activation round-trips through HBM.
+            g, b, eps = pre_ln
+            if (
+                attn_mask is None
+                and key_padding_mask is None
+                and query is key
+                and key is value
+                and _use_fused_block(query, self.num_heads)
+            ):
+                from ...ops.pallas.flash_attention import (
+                    fused_attention_block_ln,
+                )
+
+                wq, bq = self.q_proj()
+                wk, bk = self.k_proj()
+                wv, bv = self.v_proj()
+                wo, bo = self.out_proj()
+                dt = self.dtype
+                return fused_attention_block_ln(
+                    query.astype(dt), g, b,
+                    wq.astype(dt), bq.astype(dt),
+                    wk.astype(dt), bk.astype(dt),
+                    wv.astype(dt), bv.astype(dt),
+                    wo.astype(dt), bo.astype(dt),
+                    self.num_heads, eps=eps,
+                )
+            h = layer_norm(query, g, b, eps, self.dtype)
+            k2 = h if key is query else key
+            v2 = h if value is query else value
+            return query + self(h, k2, v2, attn_mask, key_padding_mask)
+
         if (
             attn_mask is None
             and key_padding_mask is None
@@ -269,6 +320,24 @@ def quantize_kv_int8(k, v):
     return kq, sk, vq, sv
 
 
+class _LNParams(nn.Module):
+    """Raw scale/bias with nn.LayerNorm's param tree layout — lets the
+    pre-LN fused sublayer kernels consume the arrays directly while
+    checkpoints keep the exact "norm1/scale" etc. paths."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return s, b
+
+
 class _DenseParams(nn.Module):
     """Raw kernel/bias with nn.Dense's param tree layout — lets the fused
     Pallas MLP consume the arrays directly while checkpoints keep the
@@ -320,14 +389,29 @@ class Mlp(nn.Module):
     activation: str = "gelu"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pre_ln: Optional[tuple] = None):
         d_in = x.shape[-1]
         if self.activation == "gelu" and _use_fused_mlp(x, self.hidden_dim):
-            from ...ops.pallas.fused_mlp import fused_mlp
-
             w1, b1 = _DenseParams(d_in, self.hidden_dim, name="fc1")()
             w2, b2 = _DenseParams(self.hidden_dim, self.out_dim, name="fc2")()
             lead = x.shape[:-1]
+            if pre_ln is not None:
+                # Pre-LN sublayer: x + mlp(LayerNorm(x)), LN + residual
+                # folded into the kernel (x tile stays VMEM-resident).
+                from ...ops.pallas.fused_mlp import fused_mlp_ln
+
+                g, b, eps = pre_ln
+                out = fused_mlp_ln(
+                    x.reshape(-1, d_in), g, b,
+                    w1.astype(self.dtype),
+                    b1.astype(self.dtype),
+                    w2.astype(self.dtype),
+                    b2.astype(self.dtype),
+                    eps=eps,
+                )
+                return out.reshape(*lead, self.out_dim)
+            from ...ops.pallas.fused_mlp import fused_mlp
+
             out = fused_mlp(
                 x.reshape(-1, d_in),
                 w1.astype(self.dtype),
@@ -337,6 +421,11 @@ class Mlp(nn.Module):
             )
             return out.reshape(*lead, self.out_dim)
 
+        residual = None
+        if pre_ln is not None:
+            residual = x
+            g, b, eps = pre_ln
+            x = layer_norm(x, g, b, eps, self.dtype)
         x = nn.Dense(
             self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc1"
         )(x)
@@ -348,6 +437,7 @@ class Mlp(nn.Module):
             x = nn.silu(x)
         else:
             raise ValueError(self.activation)
-        return nn.Dense(
+        out = nn.Dense(
             self.out_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2"
         )(x)
+        return out if residual is None else residual + out

@@ -11,7 +11,7 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .attention import Mlp, MultiHeadAttention
+from .attention import Mlp, MultiHeadAttention, _LNParams
 
 
 class PatchEmbed(nn.Module):
@@ -43,22 +43,21 @@ class EncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        ln = lambda name: nn.LayerNorm(
-            epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name=name
-        )
-        h = ln("norm1")(x)
-        h = MultiHeadAttention(
+        # Pre-LN sublayers with LN + residual folded into the fused
+        # attention-block / MLP kernels (pre_ln contract: the submodule
+        # returns x + sublayer(LayerNorm(x))).  Param tree matches the
+        # previous nn.LayerNorm layout ("norm1/scale" etc.).
+        g1, b1 = _LNParams(self.embed_dim, name="norm1")()
+        g2, b2 = _LNParams(self.embed_dim, name="norm2")()
+        x = MultiHeadAttention(
             self.embed_dim, self.num_heads, dtype=self.dtype, name="attn"
-        )(h, h, h)
-        x = x + h
-        h = ln("norm2")(x)
-        h = Mlp(
+        )(x, x, x, pre_ln=(g1, b1, 1e-6))
+        return Mlp(
             int(self.embed_dim * self.mlp_ratio),
             self.embed_dim,
             dtype=self.dtype,
             name="mlp",
-        )(h)
-        return x + h
+        )(x, pre_ln=(g2, b2, 1e-6))
 
 
 class ViTEncoder(nn.Module):

@@ -250,6 +250,108 @@ def fused_attention_block(
     )(x, wq, bs[0], wk, bs[1], wv, bs[2], wo, bs[3])
 
 
+def _attn_block_ln_kernel(
+    x_ref, g_ref, bn_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+    wo_ref, bo_ref, o_ref, *, num_heads, scale, eps,
+):
+    """Pre-LN transformer attention sublayer, one grid program per batch
+    item: out = x + attn_block(LayerNorm(x)).  Folding the LayerNorm and
+    the residual add into the kernel removes two full (B, L, D)
+    activation round-trips through HBM per encoder block."""
+    xf = x_ref[0].astype(jnp.float32)  # (L, D)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0
+    )
+    h = (xf - mu) * jax.lax.rsqrt(var + eps)
+    h = (
+        h * g_ref[:].astype(jnp.float32) + bn_ref[:].astype(jnp.float32)
+    ).astype(x_ref.dtype)
+
+    def proj(w_ref, b_ref):
+        return (
+            jax.lax.dot_general(
+                h, w_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b_ref[:].astype(jnp.float32)
+        ).astype(x_ref.dtype)
+
+    q = proj(wq_ref, bq_ref)
+    k = proj(wk_ref, bk_ref)
+    v = proj(wv_ref, bv_ref)
+
+    D = xf.shape[-1]
+    Dh = D // num_heads
+    outs = []
+    for hd in range(num_heads):
+        sl = slice(hd * Dh, (hd + 1) * Dh)
+        logits = (
+            jax.lax.dot_general(
+                q[:, sl].astype(jnp.float32), k[:, sl].astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        w = jnp.exp(logits - m)
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        outs.append(
+            jnp.dot(
+                w.astype(v.dtype), v[:, sl],
+                preferred_element_type=jnp.float32,
+            ).astype(x_ref.dtype)
+        )
+    attn = jnp.concatenate(outs, axis=1)  # (L, D)
+    out = (
+        jax.lax.dot_general(
+            attn, wo_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bo_ref[:].astype(jnp.float32)
+    )
+    o_ref[0] = (xf + out).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "eps", "interpret")
+)
+def fused_attention_block_ln(
+    x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, num_heads,
+    scale=None, eps=1e-6, interpret=False,
+):
+    """Pre-LN self-attention sublayer: x + attn_block(LayerNorm(x)).
+
+    x: (B, L, D); ln_scale/ln_bias (D,) float32; projection weights as in
+    ``fused_attention_block``.  Caller guarantees L % 8 == 0."""
+    B, L, D = x.shape
+    if scale is None:
+        scale = (D // num_heads) ** -0.5
+
+    vecs = [v.reshape(1, D) for v in (ln_scale, ln_bias, bq, bk, bv, bo)]
+    w_spec = pl.BlockSpec((D, D), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _attn_block_ln_kernel, num_heads=num_heads, scale=scale, eps=eps
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, L, D), x.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, L, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            v_spec, v_spec,
+            w_spec, v_spec, w_spec, v_spec, w_spec, v_spec, w_spec, v_spec,
+        ],
+        out_specs=pl.BlockSpec((1, L, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, vecs[0], vecs[1], wq, vecs[2], wk, vecs[3], wv, vecs[4], wo, vecs[5])
+
+
 def fused_attention_reference(q, k, v, scale=None):
     """jnp reference with identical semantics (for parity tests / CPU)."""
     if scale is None:

@@ -108,6 +108,88 @@ def fused_mlp(x, w1, b1, w2, b2, interpret=False):
     )(x, w1, b1.reshape(1, H), w2, b2.reshape(1, D))
 
 
+def _mlp_ln_kernel(
+    x_ref, g_ref, bn_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc,
+    *, eps,
+):
+    """Pre-LN MLP sublayer: out = x + mlp(LayerNorm(x)).  The LayerNorm
+    is recomputed per hidden chunk (cheap VPU work on a resident x tile)
+    so the kernel needs no extra activation traffic; the residual adds
+    from the still-resident x tile at the last chunk."""
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    xf = x_ref[:].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0
+    )
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    xn = (
+        xn * g_ref[:].astype(jnp.float32) + bn_ref[:].astype(jnp.float32)
+    ).astype(x_ref.dtype)
+
+    h = jax.lax.dot_general(
+        xn, w1_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:].astype(jnp.float32)
+    g = 0.5 * h * (1.0 + _erf(h * _SQRT_HALF))
+    acc[:] += jax.lax.dot_general(
+        g.astype(x_ref.dtype), w2_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = (
+            xf + acc[:] + b2_ref[:].astype(jnp.float32)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_mlp_ln(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=1e-6,
+                 interpret=False):
+    """Pre-LN MLP sublayer: x + (gelu(LN(x) @ w1 + b1) @ w2 + b2).
+
+    x: (N, D); ln_scale/ln_bias (D,); w1 (D, H); w2 (H, D) -> (N, D)."""
+    N, D = x.shape
+    H = w1.shape[1]
+    tile = _pick(N, 512, 8) or N
+    chunk = _pick(H, 1024, 128) or H
+
+    vec = pl.BlockSpec((1, D), lambda n, k: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mlp_ln_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((N, D), x.dtype),
+        grid=(N // tile, H // chunk),
+        in_specs=[
+            pl.BlockSpec((tile, D), lambda n, k: (n, 0),
+                         memory_space=pltpu.VMEM),
+            vec, vec,
+            pl.BlockSpec((D, chunk), lambda n, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda n, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, D), lambda n, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            vec,
+        ],
+        out_specs=pl.BlockSpec((tile, D), lambda n, k: (n, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tile, D), jnp.float32)],
+        interpret=interpret,
+    )(
+        x, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
+        w1, b1.reshape(1, H), w2, b2.reshape(1, D),
+    )
+
+
 def fused_mlp_reference(x, w1, b1, w2, b2):
     """jnp reference with matching dtype/accumulation semantics."""
     h = jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1.astype(
