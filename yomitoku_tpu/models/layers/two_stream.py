@@ -70,6 +70,16 @@ class TwoStreamDecoderLayer(nn.Module):
         c = self.norm_c(rows)
         return self.self_attn.project_kv(c, c)
 
+    def content_kv_int8(self, rows):
+        """int8 K/V rows (+ per-row scales) for the quantized content
+        cache; rows quantize independently so appending one row leaves
+        the rest of the cache untouched (per-row is the only granularity
+        an incrementally-built cache supports)."""
+        from .attention import quantize_kv_int8
+
+        kr, vr = self.content_kv(rows)
+        return quantize_kv_int8(kr, vr, per_row=True)
+
     def query_step(self, query, kc, vc, km, vm, query_mask=None):
         """Query-stream update against cached K/V (no content update).
 
@@ -79,9 +89,11 @@ class TwoStreamDecoderLayer(nn.Module):
         if query_mask is not None:
             m = query_mask
             mask = m[None, None] if m.ndim == 2 else m[:, None]
-        h = self.self_attn.attend(
-            self.self_attn.project_q(self.norm_q(query)), kc, vc, mask
-        )
+        q1 = self.self_attn.project_q(self.norm_q(query))
+        if isinstance(kc, tuple):
+            h = self.self_attn.attend_int8(q1, *kc, mask=mask)
+        else:
+            h = self.self_attn.attend(q1, kc, vc, mask)
         tgt = query + h
         q2 = self.cross_attn.project_q(self.norm1(tgt))
         if isinstance(km, tuple):
@@ -165,6 +177,9 @@ class TwoStreamDecoder(nn.Module):
 
     def ar_content_kv(self, rows):
         return self.layers[0].content_kv(rows)
+
+    def ar_content_kv_int8(self, rows):
+        return self.layers[0].content_kv_int8(rows)
 
     def ar_query_step(self, query, kc, vc, km, vm, query_mask=None):
         q = self.layers[0].query_step(query, kc, vc, km, vm, query_mask)

@@ -125,6 +125,9 @@ class PARSeqCore(nn.Module):
     def content_kv_rows(self, rows):
         return self.decoder.ar_content_kv(rows)
 
+    def content_kv_rows_int8(self, rows):
+        return self.decoder.ar_content_kv_int8(rows)
+
     def content_row(self, tokens, j):
         """Content row j (>=1) for tokens written at tgt_in[:, j]:
         pos_queries[j-1] + emb(token)."""
@@ -166,6 +169,11 @@ class PARSeq(JaxModel):
         self.pad_id = cfg.num_tokens - 1
         self.dtype = dtype or default_compute_dtype()
         self.int8_kv = _int8_kv_default()
+        # Quantizing the incrementally-built content cache too measured
+        # neutral (283 vs 275 us/step at b128): its per-row scales must
+        # apply post-matmul, which costs what the 20 MB/step of saved
+        # reads buys.  Kept available for bigger content/memory ratios.
+        self.int8_kv_content = False
         self.core = PARSeqCore(
             num_tokens=cfg.num_tokens,
             max_label_length=cfg.max_label_length,
@@ -258,34 +266,64 @@ class PARSeq(JaxModel):
                 # Fast path: K/V caches.  Cross-attn K/V over memory is
                 # loop-invariant; content K/V grows one row per step
                 # (rows > i are zero but masked by the causal row).
+                # With int8_kv both caches are int8 with per-row scales
+                # (attention.attend_int8) — the per-step HBM read of the
+                # caches is the decode-loop floor and int8 halves it.
                 if self.int8_kv:
-                    # int8 memory K/V: the per-step HBM read of this
-                    # loop-invariant cache is the decode-loop floor;
-                    # int8 halves it (see attention.attend_int8).
                     km = apply("memory_kv_int8", memory)
                     vm = None
                 else:
                     km, vm = apply("memory_kv", memory)
                 nh = core.dec_num_heads
                 dh = core.dec_embed_dim // nh
-                kc0 = jnp.zeros((B, nh, L, dh), self.dtype)
-                vc0 = jnp.zeros((B, nh, L, dh), self.dtype)
+
+                use_i8 = self.int8_kv and getattr(
+                    self, "int8_kv_content", True
+                )
+                kv_rows = (
+                    (lambda rows: apply("content_kv_rows_int8", rows))
+                    if use_i8
+                    else (lambda rows: apply("content_kv_rows", rows))
+                )
+
+                def write_rows(cache, rows, j):
+                    return tuple(
+                        jax.lax.dynamic_update_slice_in_dim(c, r, j, axis=2)
+                        for c, r in zip(cache, rows)
+                    )
+
+                if use_i8:
+                    cache0 = (
+                        jnp.zeros((B, nh, L, dh), jnp.int8),
+                        jnp.zeros((B, nh, L), jnp.float32),
+                        jnp.zeros((B, nh, L, dh), jnp.int8),
+                        jnp.zeros((B, nh, L), jnp.float32),
+                    )
+                else:
+                    cache0 = (
+                        jnp.zeros((B, nh, L, dh), self.dtype),
+                        jnp.zeros((B, nh, L, dh), self.dtype),
+                    )
                 bos_row = apply(
                     "content_embeddings",
                     jnp.full((B, 1), self.bos_id, jnp.int32),
                 )
-                kr, vr = apply("content_kv_rows", bos_row)
-                kc0 = jax.lax.dynamic_update_slice_in_dim(kc0, kr, 0, axis=2)
-                vc0 = jax.lax.dynamic_update_slice_in_dim(vc0, vr, 0, axis=2)
+                cache0 = write_rows(cache0, kv_rows(bos_row), 0)
+
+                def step_kc_vc(cache):
+                    # layer.query_step takes (kc, vc): int8 caches pass
+                    # the 4-tuple as kc, plain caches split into two.
+                    return (cache, None) if use_i8 else cache
 
                 def cond(state):
-                    i, _, _, done, _, _ = state
+                    i, _, _, done, _ = state
                     return jnp.logical_and(i < L, jnp.logical_not(done))
 
                 def body(state):
-                    i, tgt_in, logits_buf, _, kc, vc = state
+                    i, tgt_in, logits_buf, _, cache = state
                     q = jax.lax.dynamic_slice_in_dim(pos_all, i, 1, axis=1)
                     mrow = jax.lax.dynamic_slice_in_dim(causal, i, 1, axis=0)
+                    kc, vc = step_kc_vc(cache)
                     p_i = apply("decode_step", q, kc, vc, km, vm, mrow)
                     p_i = p_i.astype(jnp.float32)
                     if carry_logits:
@@ -296,31 +334,25 @@ class PARSeq(JaxModel):
                     write = i + 1 < L
 
                     def do_write(args):
-                        tgt_in, kc, vc = args
+                        tgt_in, cache = args
                         tgt_in = tgt_in.at[:, i + 1].set(nxt)
                         row = apply("content_row", nxt, i + 1)
-                        kr, vr = apply("content_kv_rows", row)
-                        kc = jax.lax.dynamic_update_slice_in_dim(
-                            kc, kr, i + 1, axis=2
-                        )
-                        vc = jax.lax.dynamic_update_slice_in_dim(
-                            vc, vr, i + 1, axis=2
-                        )
-                        return tgt_in, kc, vc
+                        cache = write_rows(cache, kv_rows(row), i + 1)
+                        return tgt_in, cache
 
-                    tgt_in, kc, vc = jax.lax.cond(
-                        write, do_write, lambda a: a, (tgt_in, kc, vc)
+                    tgt_in, cache = jax.lax.cond(
+                        write, do_write, lambda a: a, (tgt_in, cache)
                     )
                     # Early exit once every row has produced an EOS.
                     done = jnp.all(jnp.any(tgt_in == self.eos_id, axis=-1))
                     done = jnp.logical_and(done, write)
-                    return (i + 1, tgt_in, logits_buf, done, kc, vc)
+                    return (i + 1, tgt_in, logits_buf, done, cache)
 
-                _, tgt_in_final, logits, _, _, _ = jax.lax.while_loop(
+                _, tgt_in_final, logits, _, _ = jax.lax.while_loop(
                     cond,
                     body,
                     (jnp.asarray(0), tgt_in0, logits0, jnp.asarray(False),
-                     kc0, vc0),
+                     cache0),
                 )
             else:
                 def cond(state):
