@@ -102,11 +102,68 @@ class ScaleFeatureSelection(nn.Module):
         return jnp.concatenate(parts, axis=-1)
 
 
+def _use_packed_head(x) -> bool:
+    """Depth-packed binarize head: TPU only (the module path is the
+    exact-parity reference on CPU, and the packed wire format needs the
+    host-side unpack)."""
+    import os
+
+    if os.environ.get("YOMITOKU_TPU_NO_PACKED_HEAD"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+class _ConvTParams(nn.Module):
+    """Raw kernel/bias with nn.ConvTranspose's param tree layout (the
+    fused head consumes the arrays directly; checkpoints keep the exact
+    "bin_up1/kernel" etc. paths)."""
+
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (2, 2, self.features_in, self.features_out),
+            jnp.float32,
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.features_out,), jnp.float32
+        )
+        return k, b
+
+
+class _BNParams(nn.Module):
+    """Raw FrozenBatchNorm params (scale, bias, mean, var) with the same
+    tree layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        p = lambda name, init: self.param(
+            name, init, (self.features,), jnp.float32
+        )
+        return (
+            p("scale", nn.initializers.ones),
+            p("bias", nn.initializers.zeros),
+            p("mean", nn.initializers.zeros),
+            p("var", nn.initializers.ones),
+        )
+
+
 class DBNetDecoder(nn.Module):
-    """FPN decoder + attention fuse + binarize head (dbnet_plus.py:41-230)."""
+    """FPN decoder + attention fuse + binarize head (dbnet_plus.py:41-230).
+
+    ``packed_head``: emit the probability map depth-packed at /4
+    resolution ((B, H4, W4, 16), TPU wire format) instead of the
+    full-resolution (B, H, W, 1) map — see ops/dbnet_head.py."""
 
     hidden_dim: int
     dtype: jnp.dtype = jnp.float32
+    packed_head: bool = False
 
     @nn.compact
     def __call__(self, feats):
@@ -149,6 +206,25 @@ class DBNetDecoder(nn.Module):
 
         # binarize head: conv-bn-relu, convT x2 (bn relu), convT x2, sigmoid
         x = ConvBNReLU(d // 4, 3, dtype=dt, name="bin0")(fuse)
+        if self.packed_head and _use_packed_head(x):
+            # Depth-packed head: the stride-2 2x2 transposed convs have
+            # no cross-pixel support, so the upsampling collapses to two
+            # plain matmuls emitting a (H/4, W/4, 16) map — the
+            # full-res interleave is layout-hostile on TPU and happens
+            # on the host instead (native depth_to_space_u8).
+            from ..ops.dbnet_head import (
+                pack_binarize_head_params,
+                packed_binarize_head,
+            )
+
+            C = d // 4
+            k1, bias1 = _ConvTParams(C, C, name="bin_up1")()
+            bn = _BNParams(C, name="bin_bn1")()
+            k2, bias2 = _ConvTParams(C, 1, name="bin_up2")()
+            w1, b1, w2, b2 = pack_binarize_head_params(
+                k1, bias1, *bn, k2, bias2, dtype=dt
+            )
+            return packed_binarize_head(x, w1, b1, w2, b2)
         x = nn.ConvTranspose(
             d // 4, (2, 2), strides=(2, 2), use_bias=True,
             dtype=dt, param_dtype=jnp.float32, name="bin_up1",
@@ -164,11 +240,15 @@ class DBNetDecoder(nn.Module):
 class DBNetCore(nn.Module):
     hidden_dim: int
     dtype: jnp.dtype = jnp.float32
+    packed_head: bool = False
 
     @nn.compact
     def __call__(self, images):  # (B, H, W, 3) standardized
         feats = ResNetFeatures(dtype=self.dtype, name="backbone")(images)
-        return DBNetDecoder(self.hidden_dim, dtype=self.dtype, name="decoder")(feats)
+        return DBNetDecoder(
+            self.hidden_dim, dtype=self.dtype,
+            packed_head=self.packed_head, name="decoder",
+        )(feats)
 
 
 class DBNet(JaxModel):
@@ -176,6 +256,12 @@ class DBNet(JaxModel):
         super().__init__(cfg)
         self.dtype = dtype or default_compute_dtype()
         self.core = DBNetCore(hidden_dim=cfg.decoder.hidden_dim, dtype=self.dtype)
+        # u8 wire paths emit the depth-packed /4-res map on TPU (host
+        # unpacks); parameters are identical, so both cores share them.
+        self.core_packed = DBNetCore(
+            hidden_dim=cfg.decoder.hidden_dim, dtype=self.dtype,
+            packed_head=True,
+        )
         self._fwd = jax.jit(partial(self._forward, self))
         self._fwd_u8 = jax.jit(partial(self._forward_u8, self))
         self._fwd_page = jax.jit(
@@ -200,7 +286,9 @@ class DBNet(JaxModel):
         mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
         inv = 1.0 / (jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0)
         x = (images_u8.astype(jnp.float32) - mean) * inv
-        prob = self.core.apply(params, x.astype(self.dtype))[..., 0]
+        prob = self.core_packed.apply(params, x.astype(self.dtype))
+        if prob.shape[-1] == 1:  # packed head gated off: full-res map
+            prob = prob[..., 0]
         # quantize the map to uint8 for the wire (4x less than float32;
         # readback bandwidth is ~44 MB/s on this platform).  <=1/510
         # probability quantization vs the 0.3/0.4 thresholds.
@@ -222,8 +310,29 @@ class DBNet(JaxModel):
         mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
         inv = 1.0 / (jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0)
         x = (x - mean) * inv
-        prob = self.core.apply(params, x.astype(self.dtype))[..., 0]
+        prob = self.core_packed.apply(params, x.astype(self.dtype))
+        if prob.shape[-1] == 1:
+            prob = prob[..., 0]
         return jnp.clip(jnp.rint(prob * 255.0), 0, 255).astype(jnp.uint8)
+
+    @staticmethod
+    def _unpack_u8(out: np.ndarray) -> np.ndarray:
+        """Depth-packed (B, H4, W4, 16) u8 wire map -> (B, H, W); a
+        full-res (B, H, W) map passes through.  The unpack runs in the
+        native C++ (memcpy speed) with a strided-numpy fallback."""
+        if out.ndim != 4:
+            return out
+        try:
+            from ..native import depth_to_space_u8
+
+            return np.stack([depth_to_space_u8(p) for p in out])
+        except Exception:
+            B, H4, W4, _ = out.shape
+            full = np.empty((B, 4 * H4, 4 * W4), np.uint8)
+            for yo in range(4):
+                for xo in range(4):
+                    full[:, yo::4, xo::4] = out[..., yo * 4 + xo]
+            return full
 
     def forward_binary_from_page(self, page, src_hw, out_hw):
         """uint8 device page (padded) -> (1, oh, ow) float32 prob map;
@@ -235,7 +344,8 @@ class DBNet(JaxModel):
         out = self._fwd_page(
             self.dparams, page, jnp.asarray(mat), tuple(out_hw)
         )
-        return np.asarray(out).astype(np.float32) * (1.0 / 255.0)
+        out = self._unpack_u8(np.asarray(out))
+        return out.astype(np.float32) * (1.0 / 255.0)
 
     def forward_binary(self, images: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) standardized float32 -> (B, H, W) prob map."""
@@ -244,7 +354,8 @@ class DBNet(JaxModel):
     def forward_binary_u8(self, images_u8: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) uint8 (resized, BGR) -> (B, H, W) float32 prob map."""
         out = self._fwd_u8(self.dparams, self.place_batch(images_u8))
-        return np.asarray(out).astype(np.float32) * (1.0 / 255.0)
+        out = self._unpack_u8(np.asarray(out))
+        return out.astype(np.float32) * (1.0 / 255.0)
 
     def init_params(self, seed: int = 0):
         from .base import on_host_cpu

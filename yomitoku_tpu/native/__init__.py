@@ -101,8 +101,32 @@ def _load_dbnet_post():
             ctypes.POINTER(ctypes.c_float),
         ]
         lib.dbnet_boxes.restype = ctypes.c_int
+        lib.depth_to_space_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.depth_to_space_u8.restype = None
         lib._sig_done = True
     return lib
+
+
+def depth_to_space_u8(packed: np.ndarray) -> np.ndarray:
+    """(H4, W4, 16) uint8 packed map (slot yo*4+xo = pixel (4i+yo, 4j+xo))
+    -> (4*H4, 4*W4) uint8.  Host-side unpack of the TPU's depth-packed
+    binarize-head output (interleaved full-res writes are layout-hostile
+    on TPU; a 1.2 MB memcpy-speed unpack here is ~10x cheaper than the
+    device-side relayout)."""
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    h4, w4, _ = packed.shape
+    out = np.empty((4 * h4, 4 * w4), np.uint8)
+    lib = _load_dbnet_post()
+    lib.depth_to_space_u8(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(h4), int(w4),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
 
 
 def dbnet_boxes(

@@ -345,3 +345,28 @@ extern "C" int dbnet_boxes(
   }
   return n_out;
 }
+
+// Depth-to-space for the packed DBNet probability map: the device emits
+// the /4-resolution map with 16 depth slots (slot = yo*4 + xo holding
+// output pixel (4i+yo, 4j+xo)) because interleaved full-res writes are
+// layout-hostile on TPU; this unpacks on the host at memcpy speed
+// (numpy's strided transpose measured ~1 ms for a 1280x960 page, this
+// ~0.1 ms).
+extern "C" void depth_to_space_u8(const unsigned char* packed, int h4,
+                                  int w4, unsigned char* out) {
+  const long W = 4L * w4;
+  for (int i = 0; i < h4; ++i) {
+    for (int yo = 0; yo < 4; ++yo) {
+      unsigned char* dst = out + (4L * i + yo) * W;
+      const unsigned char* src = packed + ((long)i * w4) * 16 + yo * 4;
+      for (int j = 0; j < w4; ++j) {
+        dst[0] = src[0];
+        dst[1] = src[1];
+        dst[2] = src[2];
+        dst[3] = src[3];
+        dst += 4;
+        src += 16;
+      }
+    }
+  }
+}
