@@ -63,6 +63,20 @@ def _avg_pool_2x2_ceil(x):
     return nn.avg_pool(x, (2, 2), (2, 2))
 
 
+class _ConvNormParams(nn.Module):
+    """Raw conv kernel + FrozenBN params with ConvNorm's tree layout."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        from .resnet import BNParams, ConvParams
+
+        k = ConvParams(self.shape, name="conv")()
+        bn = BNParams(self.shape[-1], name="norm")()
+        return k, bn
+
+
 class PBottleneck(nn.Module):
     ch_out: int
     stride: int
@@ -75,6 +89,35 @@ class PBottleneck(nn.Module):
     def __call__(self, x):
         dt = self.dtype
         w = self.ch_out
+        Cin = x.shape[-1]
+        from .resnet import use_fused_bottleneck
+
+        if self.act == "relu" and use_fused_bottleneck(
+            x, self.stride, Cin, w, w * 4, 1
+        ):
+            from ...ops.pallas.bottleneck import fold_bn, fused_bottleneck
+
+            k1, bn1 = _ConvNormParams((1, 1, Cin, w), name="branch2a")()
+            k2, bn2 = _ConvNormParams((3, 3, w, w), name="branch2b")()
+            k3, bn3 = _ConvNormParams((1, 1, w, w * 4), name="branch2c")()
+            m1, a1 = fold_bn(*bn1)
+            m2, a2 = fold_bn(*bn2)
+            m3, a3 = fold_bn(*bn3)
+            wd = bd = None
+            if not self.shortcut:  # stride-1 variant-d: 1x1 projection
+                kd, bnd = _ConvNormParams(
+                    (1, 1, Cin, w * 4), name="short_conv"
+                )()
+                md, ad = fold_bn(*bnd)
+                wd = (kd[0, 0] * md).astype(dt)
+                bd = ad
+            return fused_bottleneck(
+                x.astype(dt),
+                (k1[0, 0] * m1).astype(dt), a1,
+                (k2.reshape(9, w, w) * m2).astype(dt), a2,
+                (k3[0, 0] * m3).astype(dt), a3,
+                wd, bd, dilation=1,
+            )
         out = ConvNorm(w, 1, 1, act=self.act, dtype=dt, name="branch2a")(x)
         out = ConvNorm(w, 3, self.stride, act=self.act, dtype=dt, name="branch2b")(out)
         out = ConvNorm(w * 4, 1, 1, act=None, dtype=dt, name="branch2c")(out)

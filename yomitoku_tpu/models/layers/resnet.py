@@ -51,6 +51,62 @@ def conv(features, kernel, stride=1, dilation=1, name=None, dtype=jnp.float32):
     )
 
 
+def use_fused_bottleneck(x, stride, Cin, Cm, Cout, dilation) -> bool:
+    """Fused Pallas bottleneck (ops/pallas/bottleneck.py): OPT-IN via
+    YOMITOKU_TPU_FUSED_BOTTLENECK=1.  Measured end-to-end SLOWER than
+    XLA's native conv path on both backbones (DBNet 7.4 -> 11.2 ms,
+    RT-DETR 4.0 -> 6.0 ms): XLA's TPU conv emitter already keeps
+    bottleneck chains near bandwidth, and each custom call forces layout
+    materialization at its boundary.  Kept for future tuning; the
+    standalone kernel does beat an einsum-formulated block by up to 11x,
+    which is a statement about the einsum form, not the conv emitter."""
+    import os
+
+    import jax
+
+    if os.environ.get("YOMITOKU_TPU_FUSED_BOTTLENECK") != "1":
+        return False
+    if jax.default_backend() != "tpu" or stride != 1:
+        return False
+    from ...ops.pallas.bottleneck import bottleneck_th
+
+    return (
+        bottleneck_th(x.shape[1], x.shape[2], Cin, Cm, Cout, dilation)
+        is not None
+    )
+
+
+class ConvParams(nn.Module):
+    """Raw conv kernel with nn.Conv's param tree layout (no bias), for
+    feeding the fused bottleneck kernel directly."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+
+
+class BNParams(nn.Module):
+    """Raw FrozenBatchNorm params with the same tree layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        p = lambda name, init: self.param(
+            name, init, (self.features,), jnp.float32
+        )
+        return (
+            p("scale", nn.initializers.ones),
+            p("bias", nn.initializers.zeros),
+            p("mean", nn.initializers.zeros),
+            p("var", nn.initializers.ones),
+        )
+
+
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
@@ -61,6 +117,30 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x):
         dt = self.dtype
+        Cin = x.shape[-1]
+        Cm, Cout = self.planes, self.planes * 4
+        if use_fused_bottleneck(x, self.stride, Cin, Cm, Cout, self.dilation):
+            from ...ops.pallas.bottleneck import fold_bn, fused_bottleneck
+
+            k1 = ConvParams((1, 1, Cin, Cm), name="conv1")()
+            m1, a1 = fold_bn(*BNParams(Cm, name="bn1")())
+            k2 = ConvParams((3, 3, Cm, Cm), name="conv2")()
+            m2, a2 = fold_bn(*BNParams(Cm, name="bn2")())
+            k3 = ConvParams((1, 1, Cm, Cout), name="conv3")()
+            m3, a3 = fold_bn(*BNParams(Cout, name="bn3")())
+            wd = bd = None
+            if self.downsample:
+                kd = ConvParams((1, 1, Cin, Cout), name="downsample_conv")()
+                md, ad = fold_bn(*BNParams(Cout, name="downsample_bn")())
+                wd = (kd[0, 0] * md).astype(dt)
+                bd = ad
+            return fused_bottleneck(
+                x.astype(dt),
+                (k1[0, 0] * m1).astype(dt), a1,
+                (k2.reshape(9, Cm, Cm) * m2).astype(dt), a2,
+                (k3[0, 0] * m3).astype(dt), a3,
+                wd, bd, dilation=self.dilation,
+            )
         out = conv(self.planes, 1, name="conv1", dtype=dt)(x)
         out = nn.relu(FrozenBatchNorm(self.planes, dtype=dt, name="bn1")(out))
         out = conv(
