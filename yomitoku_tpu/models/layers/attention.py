@@ -79,6 +79,24 @@ def _use_fused_packed(query, key, num_heads) -> bool:
     )
 
 
+def use_int8_encoder() -> bool:
+    """W8A8 encoder sublayer kernels.  Opt-in via
+    YOMITOKU_TPU_INT8_ENCODER=1 — and likely to stay that way: despite
+    the int8 MXU's 2x rate (measured 239 TOP/s standalone), the b128
+    recognizer only improves 99 -> 89 ms (encoder 71 -> 61 ms) because
+    the bf16 attention math, LayerNorms, and in-kernel activation
+    quantization don't shrink; and accuracy against the real pretrained
+    checkpoints is unverifiable in this offline environment."""
+    import os
+
+    import jax
+
+    return (
+        os.environ.get("YOMITOKU_TPU_INT8_ENCODER") == "1"
+        and jax.default_backend() == "tpu"
+    )
+
+
 def layer_norm(x, scale, bias, eps, dtype):
     """LayerNorm with linen semantics (float32 statistics, fast
     variance): used by the pre-LN fused sublayers and their fallback so
@@ -232,15 +250,30 @@ class MultiHeadAttention(nn.Module):
                 and key is value
                 and _use_fused_block(query, self.num_heads)
             ):
-                from ...ops.pallas.flash_attention import (
-                    fused_attention_block_ln,
-                )
-
                 wq, bq = self.q_proj()
                 wk, bk = self.k_proj()
                 wv, bv = self.v_proj()
                 wo, bo = self.out_proj()
                 dt = self.dtype
+                if use_int8_encoder():
+                    from ...ops.pallas.flash_attention import (
+                        fused_attention_block_ln_int8,
+                    )
+                    from ...ops.pallas.fused_mlp import quantize_weight_int8
+
+                    qw = [quantize_weight_int8(w) for w in (wq, wk, wv, wo)]
+                    return fused_attention_block_ln_int8(
+                        query.astype(dt), g, b,
+                        qw[0][0], qw[0][1], bq,
+                        qw[1][0], qw[1][1], bk,
+                        qw[2][0], qw[2][1], bv,
+                        qw[3][0], qw[3][1], bo,
+                        self.num_heads, eps=eps,
+                    )
+                from ...ops.pallas.flash_attention import (
+                    fused_attention_block_ln,
+                )
+
                 return fused_attention_block_ln(
                     query.astype(dt), g, b,
                     wq.astype(dt), bq.astype(dt),
@@ -417,9 +450,22 @@ class Mlp(nn.Module):
             if pre_ln is not None:
                 # Pre-LN sublayer: x + mlp(LayerNorm(x)), LN + residual
                 # folded into the kernel (x tile stays VMEM-resident).
+                g, b, eps = pre_ln
+                if use_int8_encoder():
+                    from ...ops.pallas.fused_mlp import (
+                        fused_mlp_ln_int8,
+                        quantize_weight_int8,
+                    )
+
+                    w1q, s1 = quantize_weight_int8(w1)
+                    w2q, s2 = quantize_weight_int8(w2)
+                    out = fused_mlp_ln_int8(
+                        x.reshape(-1, d_in), g, b,
+                        w1q, s1, b1, w2q, s2, b2, eps=eps,
+                    )
+                    return out.reshape(*lead, self.out_dim)
                 from ...ops.pallas.fused_mlp import fused_mlp_ln
 
-                g, b, eps = pre_ln
                 out = fused_mlp_ln(
                     x.reshape(-1, d_in), g, b,
                     w1.astype(self.dtype),

@@ -352,6 +352,129 @@ def fused_attention_block_ln(
     )(x, vecs[0], vecs[1], wq, vecs[2], wk, vecs[3], wv, vecs[4], wo, vecs[5])
 
 
+def _attn_block_ln_int8_kernel(
+    x_ref, g_ref, bn_ref, wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
+    wv_ref, sv_ref, bv_ref, wo_ref, so_ref, bo_ref, o_ref,
+    *, num_heads, scale, eps,
+):
+    """Pre-LN attention sublayer with W8A8 projections (the MXU runs
+    int8 at ~2x its bf16 rate): LN -> per-token int8 quantize -> int8
+    QKV projections -> bf16 per-head attention -> int8 out projection ->
+    residual.  Attention math (QK^T softmax PV, ~5% of the FLOPs) stays
+    bf16/f32."""
+    xf = x_ref[0].astype(jnp.float32)  # (L, D)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0
+    )
+    h = (xf - mu) * jax.lax.rsqrt(var + eps)
+    h = h * g_ref[:].astype(jnp.float32) + bn_ref[:].astype(jnp.float32)
+
+    def quant_rows(a):
+        s = jnp.maximum(
+            jnp.max(jnp.abs(a), axis=-1, keepdims=True), 1e-6
+        ) * (1.0 / 127.0)
+        return jnp.clip(jnp.round(a / s), -127, 127).astype(jnp.int8), s
+
+    hq, sh = quant_rows(h)
+    dt = x_ref.dtype
+
+    def proj(w_ref, s_ref, b_ref):
+        i32 = jax.lax.dot_general(
+            hq, w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (
+            i32.astype(jnp.float32) * sh * s_ref[0].astype(jnp.float32)
+            + b_ref[0].astype(jnp.float32)
+        ).astype(dt)
+
+    q = proj(wq_ref, sq_ref, bq_ref)
+    k = proj(wk_ref, sk_ref, bk_ref)
+    v = proj(wv_ref, sv_ref, bv_ref)
+
+    D = xf.shape[-1]
+    Dh = D // num_heads
+    outs = []
+    for hd in range(num_heads):
+        sl = slice(hd * Dh, (hd + 1) * Dh)
+        logits = (
+            jax.lax.dot_general(
+                q[:, sl].astype(jnp.float32), k[:, sl].astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        w = jnp.exp(logits - m)
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        outs.append(
+            jnp.dot(
+                w.astype(v.dtype), v[:, sl],
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.float32)
+        )
+    attn = jnp.concatenate(outs, axis=1)  # (L, D) f32
+    aq, sa = quant_rows(attn)
+    o32 = jax.lax.dot_general(
+        aq, wo_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = (
+        o32.astype(jnp.float32) * sa * so_ref[0].astype(jnp.float32)
+        + bo_ref[0].astype(jnp.float32)
+    )
+    o_ref[0] = (xf + out).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "eps", "interpret")
+)
+def fused_attention_block_ln_int8(
+    x, ln_scale, ln_bias, wq, sq, bq, wk, sk, bk, wv, sv, bv, wo, so, bo,
+    num_heads, scale=None, eps=1e-6, interpret=False,
+):
+    """Pre-LN self-attention sublayer with int8 projections: x +
+    attn_block_int8(LayerNorm(x)).  w* are int8 (D, D) with per-output-
+    channel scales s* (D,) (ops.pallas.fused_mlp.quantize_weight_int8)."""
+    B, L, D = x.shape
+    if scale is None:
+        scale = (D // num_heads) ** -0.5
+
+    vecs = [
+        v.reshape(1, D)
+        for v in (ln_scale, ln_bias, sq, bq, sk, bk, sv, bv, so, bo)
+    ]
+    w_spec = pl.BlockSpec((D, D), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _attn_block_ln_int8_kernel, num_heads=num_heads, scale=scale,
+            eps=eps,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, L, D), x.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, L, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            v_spec, v_spec,
+            w_spec, v_spec, v_spec,
+            w_spec, v_spec, v_spec,
+            w_spec, v_spec, v_spec,
+            w_spec, v_spec, v_spec,
+        ],
+        out_specs=pl.BlockSpec((1, L, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(
+        x, vecs[0], vecs[1], wq, vecs[2], vecs[3], wk, vecs[4], vecs[5],
+        wv, vecs[6], vecs[7], wo, vecs[8], vecs[9],
+    )
+
+
 def fused_attention_reference(q, k, v, scale=None):
     """jnp reference with identical semantics (for parity tests / CPU)."""
     if scale is None:

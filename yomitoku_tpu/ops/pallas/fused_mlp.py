@@ -190,6 +190,120 @@ def fused_mlp_ln(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=1e-6,
     )
 
 
+def _mlp_ln_int8_kernel(
+    x_ref, g_ref, bn_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+    o_ref, acc, *, eps,
+):
+    """Pre-LN MLP sublayer with W8A8 matmuls: the MXU runs int8 at ~2x
+    its bf16 rate (measured 239 vs ~110 TOP/s on this chip).  Weights
+    are pre-quantized per output channel (s1/s2); activations quantize
+    per row (per token) on the fly in VMEM — LN output for fc1, each
+    GELU chunk for fc2 (per-chunk row scales dequantize before the f32
+    accumulation, so chunking stays exact)."""
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    xf = x_ref[:].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0
+    )
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    xn = xn * g_ref[:].astype(jnp.float32) + bn_ref[:].astype(jnp.float32)
+
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(xn), axis=-1, keepdims=True), 1e-6
+    ) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xn / sx), -127, 127).astype(jnp.int8)
+
+    h32 = jax.lax.dot_general(
+        xq, w1_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    h = (
+        h32.astype(jnp.float32) * sx * s1_ref[0].astype(jnp.float32)
+        + b1_ref[0].astype(jnp.float32)
+    )
+    gelu = 0.5 * h * (1.0 + _erf(h * _SQRT_HALF))
+
+    sg = jnp.maximum(
+        jnp.max(jnp.abs(gelu), axis=-1, keepdims=True), 1e-6
+    ) * (1.0 / 127.0)
+    gq = jnp.clip(jnp.round(gelu / sg), -127, 127).astype(jnp.int8)
+    o32 = jax.lax.dot_general(
+        gq, w2_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc[:] += o32.astype(jnp.float32) * sg * s2_ref[0].astype(jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = (
+            xf + acc[:] + b2_ref[0].astype(jnp.float32)
+        ).astype(o_ref.dtype)
+
+
+def quantize_weight_int8(w):
+    """(K, N) float -> (int8 weights, per-output-channel float32 scales)."""
+    s = jnp.maximum(
+        jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0, keepdims=True), 1e-8
+    ) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / s), -127, 127).astype(
+        jnp.int8
+    )
+    return q, s[0]
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_mlp_ln_int8(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2,
+                      eps=1e-6, interpret=False):
+    """Pre-LN MLP sublayer, W8A8: x + mlp_int8(LN(x)).
+
+    w1q (D, H) int8 + s1 (H,); w2q (H, D) int8 + s2 (D,) from
+    ``quantize_weight_int8``; x (N, D)."""
+    N, D = x.shape
+    H = w1q.shape[1]
+    tile = _pick(N, 512, 8) or N
+    chunk = _pick(H, 1024, 128) or H
+
+    vec = lambda n: pl.BlockSpec(
+        (1, n), lambda r, k: (0, 0), memory_space=pltpu.VMEM
+    )
+    cvec = lambda: pl.BlockSpec(
+        (1, chunk), lambda r, k: (0, k), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_mlp_ln_int8_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((N, D), x.dtype),
+        grid=(N // tile, H // chunk),
+        in_specs=[
+            pl.BlockSpec((tile, D), lambda r, k: (r, 0),
+                         memory_space=pltpu.VMEM),
+            vec(D), vec(D),
+            pl.BlockSpec((D, chunk), lambda r, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            cvec(), cvec(),
+            pl.BlockSpec((chunk, D), lambda r, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            vec(D), vec(D),
+        ],
+        out_specs=pl.BlockSpec((tile, D), lambda r, k: (r, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tile, D), jnp.float32)],
+        interpret=interpret,
+    )(
+        x, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
+        w1q, s1.reshape(1, H), b1.reshape(1, H),
+        w2q, s2.reshape(1, D), b2.reshape(1, D),
+    )
+
+
 def fused_mlp_reference(x, w1, b1, w2, b2):
     """jnp reference with matching dtype/accumulation semantics."""
     h = jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1.astype(
