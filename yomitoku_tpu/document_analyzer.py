@@ -516,12 +516,15 @@ class DocumentAnalyzer:
             layout = reading_order_visualizer(layout, results)
         return results, ocr, layout
 
-    def batch(self, imgs, max_in_flight=2):
+    def batch(self, imgs, max_in_flight=3):
         """Pipelined multi-page analysis: up to ``max_in_flight`` pages
         run concurrently so one page's host stages (contours, crops,
         tokenizer, aggregation) overlap another page's device programs
         and transfers.  The jitted programs are shared (same compiled
-        executables); XLA queues their dispatches FIFO.
+        executables); XLA queues their dispatches FIFO.  Depth 3
+        measured ~15%% faster than 2 on the transfer-bound dev tunnel
+        (three-way overlap: upload / device / readback+host); deeper
+        pipelines regress (queue contention).
 
         Returns the list of (DocumentAnalyzerSchema, ocr_vis, layout_vis)
         in input order.  No multi-device requirement — this hides
