@@ -522,7 +522,7 @@ class DocumentAnalyzer:
         tokenizer, aggregation) overlap another page's device programs
         and transfers.  The jitted programs are shared (same compiled
         executables); XLA queues their dispatches FIFO.  Depth 3
-        measured ~15%% faster than 2 on the transfer-bound dev tunnel
+        measured ~15 percent faster than 2 on the transfer-bound tunnel
         (three-way overlap: upload / device / readback+host); deeper
         pipelines regress (queue contention).
 

@@ -19,7 +19,7 @@ import numpy as np
 from flax import linen as nn
 
 from .base import JaxModel, default_compute_dtype
-from .layers.resnet import FrozenBatchNorm, ResNetFeatures
+from .layers.resnet import BNParams, FrozenBatchNorm, ResNetFeatures
 
 
 def _resize_bilinear(x, h, w):
@@ -135,25 +135,6 @@ class _ConvTParams(nn.Module):
         return k, b
 
 
-class _BNParams(nn.Module):
-    """Raw FrozenBatchNorm params (scale, bias, mean, var) with the same
-    tree layout."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        p = lambda name, init: self.param(
-            name, init, (self.features,), jnp.float32
-        )
-        return (
-            p("scale", nn.initializers.ones),
-            p("bias", nn.initializers.zeros),
-            p("mean", nn.initializers.zeros),
-            p("var", nn.initializers.ones),
-        )
-
-
 class DBNetDecoder(nn.Module):
     """FPN decoder + attention fuse + binarize head (dbnet_plus.py:41-230).
 
@@ -219,7 +200,7 @@ class DBNetDecoder(nn.Module):
 
             C = d // 4
             k1, bias1 = _ConvTParams(C, C, name="bin_up1")()
-            bn = _BNParams(C, name="bin_bn1")()
+            bn = BNParams(C, name="bin_bn1")()
             k2, bias2 = _ConvTParams(C, 1, name="bin_up2")()
             w1, b1, w2, b2 = pack_binarize_head_params(
                 k1, bias1, *bn, k2, bias2, dtype=dt

@@ -86,7 +86,10 @@ def use_int8_encoder() -> bool:
     recognizer only improves 99 -> 89 ms (encoder 71 -> 61 ms) because
     the bf16 attention math, LayerNorms, and in-kernel activation
     quantization don't shrink; and accuracy against the real pretrained
-    checkpoints is unverifiable in this offline environment."""
+    checkpoints is unverifiable in this offline environment.  Note the
+    weights re-quantize inside every jitted forward (~0.2 ms/batch of
+    elementwise work) — if this path ever graduates, quantize once at
+    parameter placement instead."""
     import os
 
     import jax

@@ -142,14 +142,22 @@ class PARSeqCore(nn.Module):
 def _int8_kv_default() -> bool:
     """int8 cross-attention K/V cache in the AR decode loop: on by
     default on TPU (same policy as the bf16 compute dtype — the decode
-    loop is HBM-bound and the quantization error is below bf16 noise at
-    the logit level), off on CPU where exact f32 parity with the torch
-    mirrors is the point.  YOMITOKU_TPU_INT8_KV=1/0 forces."""
+    loop is HBM-bound, and per-head symmetric quantization of the
+    memory K/V is an accuracy choice of the same order as bf16 compute;
+    note it is validated against the f32 path on random weights only —
+    with real checkpoints, audit greedy parity once and set
+    YOMITOKU_TPU_INT8_KV=0 if K projections carry outlier dimensions).
+    Off on CPU, where exact f32 parity with the torch mirrors is the
+    point.  YOMITOKU_TPU_INT8_KV=1/0 forces; unrecognized values keep
+    the default.  The flag is baked into the jitted programs at first
+    trace — set it (or the env) before the first forward."""
     import os
 
     env = os.environ.get("YOMITOKU_TPU_INT8_KV")
-    if env is not None:
-        return env not in ("0", "false", "False")
+    if env in ("1", "true", "True"):
+        return True
+    if env in ("0", "false", "False"):
+        return False
     import jax
 
     return jax.default_backend() == "tpu"
@@ -266,9 +274,12 @@ class PARSeq(JaxModel):
                 # Fast path: K/V caches.  Cross-attn K/V over memory is
                 # loop-invariant; content K/V grows one row per step
                 # (rows > i are zero but masked by the causal row).
-                # With int8_kv both caches are int8 with per-row scales
-                # (attention.attend_int8) — the per-step HBM read of the
-                # caches is the decode-loop floor and int8 halves it.
+                # With int8_kv the loop-invariant memory K/V is int8
+                # with per-(batch, head) scales (attention.attend_int8
+                # folds them into the query); the content cache adds
+                # per-row int8 only when int8_kv_content is set.  The
+                # per-step HBM read of the caches is the decode-loop
+                # floor and int8 halves the dominant term.
                 if self.int8_kv:
                     km = apply("memory_kv_int8", memory)
                     vm = None
@@ -277,9 +288,7 @@ class PARSeq(JaxModel):
                 nh = core.dec_num_heads
                 dh = core.dec_embed_dim // nh
 
-                use_i8 = self.int8_kv and getattr(
-                    self, "int8_kv_content", True
-                )
+                use_i8 = self.int8_kv and self.int8_kv_content
                 kv_rows = (
                     (lambda rows: apply("content_kv_rows_int8", rows))
                     if use_i8
