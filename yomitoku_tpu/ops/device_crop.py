@@ -157,15 +157,24 @@ def device_crops_enabled() -> bool:
         return False
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(1, 2))
+def _pad_on_device(x, ph, pw):
+    h, w = x.shape[:2]
+    return jnp.pad(x, ((0, ph - h), (0, pw - w), (0, 0)))
+
+
 class DevicePage:
     """One uint8 BGR page uploaded once and shared by detector, layout,
     TSR/cell, and recognizer programs, so the page image crosses the
     host<->device link exactly once.
 
     The exact-size page is uploaded and padded to a /align shape bucket
-    ON DEVICE (a trivial pad op that recompiles per page size, while the
-    big fused programs compile once per bucket) — the padding bytes never
-    cross the link."""
+    ON DEVICE (a module-level jitted pad cached per (page, bucket)
+    shape, while the big fused programs compile once per bucket) — the
+    padding bytes never cross the link."""
 
     def __init__(self, img_bgr: np.ndarray, align: int = 512):
         h, w = img_bgr.shape[:2]
@@ -174,10 +183,40 @@ class DevicePage:
         pw = -(-w // align) * align
         dev = jnp.asarray(np.ascontiguousarray(img_bgr))
         if (ph, pw) != (h, w):
-            dev = jax.jit(
-                lambda x: jnp.pad(x, ((0, ph - h), (0, pw - w), (0, 0)))
-            )(dev)
+            dev = _pad_on_device(dev, ph, pw)
         self.dev = dev
+
+
+#: crop-batch buckets shared by the TSR / cell-detector page paths
+REGION_BUCKETS = (1, 2, 4, 8, 16, 64)
+
+
+def forward_regions_from_page(model, page, data, out_hw):
+    """Shared TSR / cell-detector device-page path: per-table crop
+    regions -> bucket-padded fused crop+forward.
+
+    Returns (preds, sizes, n) where ``preds`` is still PADDED to the
+    bucket and ``sizes`` includes (1, 1) dummies — postprocess the full
+    padded batch and slice its per-image results to ``n`` afterwards
+    (slicing the device outputs first would recompile the jitted top-k
+    for every distinct table count).  Counts beyond the largest bucket
+    run unpadded."""
+    regions = [
+        (
+            d["offset"][0], d["offset"][1],
+            d["offset"][0] + d["size"][1],
+            d["offset"][1] + d["size"][0],
+        )
+        for d in data
+    ]
+    n = len(regions)
+    target = next((b for b in REGION_BUCKETS if n <= b), n)
+    regions = regions + [(0, 0, 1, 1)] * (target - n)
+    mats, _ = region_mats(regions, out_hw)
+    preds = model.forward_from_page(page.dev, mats, out_hw)
+    sizes = [[d["size"][1], d["size"][0]] for d in data]
+    sizes += [[1, 1]] * (target - n)
+    return preds, sizes, n
 
 
 def sample_lines(page, mats, valid_wh, out_hw=(32, 800), flip_bgr=True,

@@ -65,8 +65,10 @@ def _blocked_pairs(paired, lo, hi):
     idx = np.arange(n)
     for m in (A1, B1, A2, B2):
         m[idx, idx] = False
-    blocked = (A1.T.astype(np.uint8) @ B1.astype(np.uint8)) > 0
-    blocked |= (A2.T.astype(np.uint8) @ B2.astype(np.uint8)) > 0
+    # int32 accumulation: a uint8 product wraps mod 256, which would
+    # zero a true blocked[i, j] on pages with 256k blockers for a pair
+    blocked = (A1.T.astype(np.int32) @ B1.astype(np.int32)) > 0
+    blocked |= (A2.T.astype(np.int32) @ B2.astype(np.int32)) > 0
     return blocked
 
 

@@ -210,6 +210,7 @@ class CellDetector(BaseModule):
 
     def postprocess(self, preds, data, table_box):
         """``preds``: one already-filtered {labels, boxes, scores} dict."""
+        h, w = data["size"]  # crop size: boxes are in crop coordinates
 
         category_elements = {c: [] for c in self.label_mapper.values()}
         category_elements["hole"] = []
@@ -322,26 +323,22 @@ class CellDetector(BaseModule):
         outputs = []
         if data:
             if page is not None:
-                from .ops.device_crop import region_mats
+                from .ops.device_crop import forward_regions_from_page
 
-                out_hw = tuple(self._cfg.data.img_size)
-                regions = [
-                    (d["offset"][0], d["offset"][1],
-                     d["offset"][0] + d["size"][1],
-                     d["offset"][1] + d["size"][0])
-                    for d in data
-                ]
-                n = len(regions)
-                target = next(b for b in (1, 2, 4, 8, 16, 64) if n <= b)
-                regions += [(0, 0, 1, 1)] * (target - n)
-                mats, _ = region_mats(regions, out_hw)
-                preds = self.model.forward_from_page(page.dev, mats, out_hw)
-                preds = {k: v[:n] for k, v in preds.items()}
+                preds, sizes, n = forward_regions_from_page(
+                    self.model, page, data, tuple(self._cfg.data.img_size)
+                )
+                # postprocess the PADDED batch (a pre-slice would
+                # recompile the jitted top-k per table count), then
+                # drop the dummy entries
+                filtered = self.postprocessor(
+                    preds, sizes, self.thresh_score
+                )[:n]
             else:
                 batch = np.stack([d["array"] for d in data])
                 preds = self.model.forward(batch)
-            sizes = [[d["size"][1], d["size"][0]] for d in data]
-            filtered = self.postprocessor(preds, sizes, self.thresh_score)
+                sizes = [[d["size"][1], d["size"][0]] for d in data]
+                filtered = self.postprocessor(preds, sizes, self.thresh_score)
             for one, (d, table) in zip(filtered, zip(data, tables)):
                 cells = self.postprocess(one, d, table.box)
                 if len(cells) == 0:

@@ -208,27 +208,22 @@ class TableStructureRecognizer(BaseModule):
             # one batched forward over all tables on the page, one fused
             # device->host readback for every table's filtered detections
             if page is not None:
-                from .ops.device_crop import region_mats
+                from .ops.device_crop import forward_regions_from_page
 
-                out_hw = tuple(self._cfg.data.img_size)
-                regions = []
-                for d in data:
-                    x1, y1 = d["offset"]
-                    regions.append(
-                        (x1, y1, x1 + d["size"][1], y1 + d["size"][0])
-                    )
-                # bucket the table count to bound compiled program shapes
-                n = len(regions)
-                target = next(b for b in (1, 2, 4, 8, 16, 64) if n <= b)
-                regions += [(0, 0, 1, 1)] * (target - n)
-                mats, _ = region_mats(regions, out_hw)
-                preds = self.model.forward_from_page(page.dev, mats, out_hw)
-                preds = {k: v[:n] for k, v in preds.items()}
+                preds, sizes, n = forward_regions_from_page(
+                    self.model, page, data, tuple(self._cfg.data.img_size)
+                )
+                # postprocess the PADDED batch (a pre-slice would
+                # recompile the jitted top-k per table count), then
+                # drop the dummy entries
+                filtered = self.postprocessor(
+                    preds, sizes, self.thresh_score
+                )[:n]
             else:
                 batch = np.stack([d["array"] for d in data])
                 preds = self.model.forward(batch)
-            sizes = [[d["size"][1], d["size"][0]] for d in data]
-            filtered = self.postprocessor(preds, sizes, self.thresh_score)
+                sizes = [[d["size"][1], d["size"][0]] for d in data]
+                filtered = self.postprocessor(preds, sizes, self.thresh_score)
             for d, one in zip(data, filtered):
                 table = self.postprocess(one, d)
                 if table.n_row > 0 and table.n_col > 0:

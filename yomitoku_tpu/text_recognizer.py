@@ -139,18 +139,11 @@ class TextRecognizer(BaseModule):
 
     def _use_device_crops(self) -> bool:
         """Crop lines on device (one page upload + tiny homographies)
-        instead of uploading a host-built crop batch.  Default on real
-        accelerators; the host cv2 path stays the exact-parity reference
-        (and the faster choice on the CPU backend).  Force the host path
-        with YOMITOKU_TPU_HOST_CROPS=1."""
-        if os.environ.get("YOMITOKU_TPU_HOST_CROPS"):
-            return False
-        try:
-            import jax
+        instead of uploading a host-built crop batch — same gate as the
+        rest of the pipeline (ops.device_crop.device_crops_enabled)."""
+        from .ops.device_crop import device_crops_enabled
 
-            return jax.devices()[0].platform != "cpu"
-        except Exception:
-            return False
+        return device_crops_enabled()
 
     def _infer_padded_page(self, page, mats, valid_wh):
         """Bucket-pad the homography batch and run the fused
@@ -220,7 +213,21 @@ class TextRecognizer(BaseModule):
         if points is None:
             h, w = img.shape[:2]
             points = [[[0, 0], [w, 0], [w, h], [0, h]]]
-        valid_points = [q for q in points if validate_quads(img, q) is not None]
+
+        def _nonzero_area(q):
+            # host parity: ParseqDataset drops quads whose warped ROI is
+            # empty (int-cast side length 0, data/dataset.py)
+            qa = np.asarray(q, dtype=np.int64).astype(np.float64)
+            return (
+                int(np.linalg.norm(qa[0] - qa[1])) > 0
+                and int(np.linalg.norm(qa[1] - qa[2])) > 0
+            )
+
+        valid_points = [
+            q
+            for q in points
+            if validate_quads(img, q) is not None and _nonzero_area(q)
+        ]
         if not valid_points:
             return [], [], [], []
         mats, valid_wh = line_homographies(
