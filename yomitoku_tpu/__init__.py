@@ -16,6 +16,7 @@ _LAZY = {
     "LayoutAnalyzer": ".layout_analyzer",
     "LayoutParser": ".layout_parser",
     "TableStructureRecognizer": ".table_structure_recognizer",
+    "TableSemanticParser": ".table_semantic_parser",
     "DocumentAnalyzer": ".document_analyzer",
 }
 
