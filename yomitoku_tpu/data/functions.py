@@ -108,8 +108,11 @@ def extract_roi_with_perspective(img: np.ndarray, quad) -> np.ndarray:
         and quad[2, 0] == x2 and quad[2, 1] == y2
         and quad[3, 0] == 0 and quad[3, 1] == y2
         and width == x2 and height == y2
+        # quads beyond the image clip the bbox crop; the reference's
+        # warp pads those rows/cols with black instead — fall through
+        and roi.shape[0] == height and roi.shape[1] == width
     ):
-        return np.ascontiguousarray(roi[:height, :width])
+        return np.ascontiguousarray(roi)
     src = np.float32(quad)
     dst = np.float32([[0, 0], [width, 0], [width, height], [0, height]])
     M = cv2.getPerspectiveTransform(src, dst)
