@@ -163,6 +163,29 @@ def _int8_kv_default() -> bool:
     return jax.default_backend() == "tpu"
 
 
+_INT8_KV_NOTICED = False
+
+
+def _notice_int8_kv_default():
+    """One-time notice that the accelerator default quantizes the AR
+    loop's memory K/V cache to int8 — an accuracy choice of the same
+    order as bf16 compute, but only parity-audited against random
+    weights so far.  Silent when the user forced the choice via env."""
+    global _INT8_KV_NOTICED
+    import os
+
+    if _INT8_KV_NOTICED or os.environ.get("YOMITOKU_TPU_INT8_KV"):
+        return
+    _INT8_KV_NOTICED = True
+    from ..utils.logger import set_logger
+
+    set_logger(__name__).info(
+        "PARSeq AR decode uses an int8 memory K/V cache (TPU default; "
+        "greedy parity audited on random weights). Set "
+        "YOMITOKU_TPU_INT8_KV=0 to force the full-precision cache."
+    )
+
+
 class PARSeq(JaxModel):
     """Task-facing wrapper: owns params and the jitted decode program."""
 
@@ -177,6 +200,8 @@ class PARSeq(JaxModel):
         self.pad_id = cfg.num_tokens - 1
         self.dtype = dtype or default_compute_dtype()
         self.int8_kv = _int8_kv_default()
+        if self.int8_kv:
+            _notice_int8_kv_default()
         # Quantizing the incrementally-built content cache too measured
         # neutral (283 vs 275 us/step at b128): its per-row scales must
         # apply post-matmul, which costs what the 20 MB/step of saved
@@ -475,16 +500,22 @@ class PARSeq(JaxModel):
             )
         )
 
+    #: stage label for utils.stagetrace accounting
+    trace_stage = "rec"
+
     def forward_tokens(self, images: np.ndarray):
         """Host entry: (B, H, W, 3) float32 -> (ids, probs) ndarrays."""
-        packed = np.asarray(
-            self._tokens_fn(
+        from ..utils.stagetrace import segment
+
+        with segment(self.trace_stage, "dispatch", nbytes=images.nbytes):
+            dev = self._tokens_fn(
                 self.dparams,
                 self.place_batch(images),
                 self.decode_ar,
                 int(self.refine_iters),
             )
-        )
+        with segment(self.trace_stage, "sync", nbytes=dev.nbytes):
+            packed = np.asarray(dev)
         return packed[0].astype(np.int32), packed[1]
 
     @staticmethod
@@ -507,8 +538,10 @@ class PARSeq(JaxModel):
         """Host entry: uint8 page (device array or ndarray; pad via
         ops.device_crop.pad_page first) + (B, 3, 3) canvas->page maps ->
         (ids, probs)."""
-        packed = np.asarray(
-            self._tokens_page_fn(
+        from ..utils.stagetrace import segment
+
+        with segment(self.trace_stage, "dispatch"):
+            dev = self._tokens_page_fn(
                 self.dparams,
                 page,
                 jnp.asarray(np.asarray(mats, np.float32)),
@@ -516,7 +549,8 @@ class PARSeq(JaxModel):
                 self.decode_ar,
                 int(self.refine_iters),
             )
-        )
+        with segment(self.trace_stage, "sync", nbytes=dev.nbytes):
+            packed = np.asarray(dev)
         return packed[0].astype(np.int32), packed[1]
 
     # --------------------------------------------------- torch conversion

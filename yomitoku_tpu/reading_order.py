@@ -66,7 +66,7 @@ def _blocked_pairs(paired, lo, hi):
     for m in (A1, B1, A2, B2):
         m[idx, idx] = False
     # int32 accumulation: a uint8 product wraps mod 256, which would
-    # zero a true blocked[i, j] on pages with 256k blockers for a pair
+    # zero a true blocked[i, j] once a pair shares exactly 256 blockers
     blocked = (A1.T.astype(np.int32) @ B1.astype(np.int32)) > 0
     blocked |= (A2.T.astype(np.int32) @ B2.astype(np.int32)) > 0
     return blocked

@@ -177,10 +177,12 @@ class CellDetector(BaseModule):
                 self.model.use_mesh(mesh)
         self.device = device
         self.visualize = visualize
+        self.model.trace_stage = "cell"
         self.postprocessor = RTDETRPostProcessor(
             num_classes=self._cfg.RTDETRTransformerv2.num_classes,
             num_top_queries=self._cfg.RTDETRTransformerv2.num_queries,
         )
+        self.postprocessor.trace_stage = "cell"
         self.thresh_score = self._cfg.thresh_score
         self.label_mapper = dict(enumerate(self._cfg.category))
 
@@ -323,17 +325,13 @@ class CellDetector(BaseModule):
         outputs = []
         if data:
             if page is not None:
-                from .ops.device_crop import forward_regions_from_page
+                from .ops.device_crop import filtered_regions_from_page
 
-                preds, sizes, n = forward_regions_from_page(
-                    self.model, page, data, tuple(self._cfg.data.img_size)
+                filtered = filtered_regions_from_page(
+                    self.model, page, data,
+                    tuple(self._cfg.data.img_size),
+                    self.postprocessor, self.thresh_score,
                 )
-                # postprocess the PADDED batch (a pre-slice would
-                # recompile the jitted top-k per table count), then
-                # drop the dummy entries
-                filtered = self.postprocessor(
-                    preds, sizes, self.thresh_score
-                )[:n]
             else:
                 batch = np.stack([d["array"] for d in data])
                 preds = self.model.forward(batch)
