@@ -185,6 +185,89 @@ def load_reference_semantic():
     return pkg
 
 
+def load_reference_document_analyzer():
+    """Mount the reference document_analyzer module (the pure aggregation
+    helpers) with its neural-module imports stubbed.  Follows the
+    load_reference_semantic pattern; additionally stubs the reference's
+    ABSOLUTE imports (yomitoku.text_detector / yomitoku.text_recognizer,
+    document_analyzer.py:8-9)."""
+    _ensure_omegaconf_stub()
+    base = "/root/reference/src/yomitoku"
+    pkg_name = "ref_docan"
+    if pkg_name in sys.modules:
+        return sys.modules[pkg_name].document_analyzer
+
+    pkg = types.ModuleType(pkg_name)
+    pkg.__path__ = [base]
+    sys.modules[pkg_name] = pkg
+
+    def _load(modname, fpath):
+        spec = importlib.util.spec_from_file_location(
+            f"{pkg_name}.{modname}", fpath
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"{pkg_name}.{modname}"] = mod
+        spec.loader.exec_module(mod)
+        parent, _, leaf = modname.rpartition(".")
+        setattr(sys.modules[f"{pkg_name}.{parent}" if parent else pkg_name],
+                leaf, mod)
+        return mod
+
+    utils_pkg = types.ModuleType(f"{pkg_name}.utils")
+    utils_pkg.__path__ = [f"{base}/utils"]
+    sys.modules[f"{pkg_name}.utils"] = utils_pkg
+    pkg.utils = utils_pkg
+    for m in ("logger", "graph", "misc", "visualizer"):
+        _load(f"utils.{m}", f"{base}/utils/{m}.py")
+
+    export_pkg = types.ModuleType(f"{pkg_name}.export")
+    export_pkg.__path__ = [f"{base}/export"]
+    sys.modules[f"{pkg_name}.export"] = export_pkg
+    pkg.export = export_pkg
+    for m in ("export_csv", "export_html", "export_json", "export_markdown"):
+        _load(f"export.{m}", f"{base}/export/{m}.py")
+    for m in ("export_csv", "export_html", "export_json", "export_markdown"):
+        mod = sys.modules[f"{pkg_name}.export.{m}"]
+        for attr in dir(mod):
+            if attr.startswith(("convert_", "export_", "save_")):
+                setattr(export_pkg, attr, getattr(mod, attr))
+
+    _load("reading_order", f"{base}/reading_order.py")
+    schemas_pkg = types.ModuleType(f"{pkg_name}.schemas")
+    schemas_pkg.__path__ = [f"{base}/schemas"]
+    sys.modules[f"{pkg_name}.schemas"] = schemas_pkg
+    pkg.schemas = schemas_pkg
+    mod = _load("schemas.document_analyzer",
+                f"{base}/schemas/document_analyzer.py")
+    for attr in dir(mod):
+        if attr.endswith("Schema"):
+            setattr(schemas_pkg, attr, getattr(mod, attr))
+
+    # stubs: relative neural imports + the reference's absolute imports
+    for name, attrs in (
+        ("layout_analyzer", {"LayoutAnalyzer": object}),
+        ("ocr", {"OCRSchema": object, "ocr_aggregate": lambda *a, **k: []}),
+    ):
+        stub = types.ModuleType(f"{pkg_name}.{name}")
+        for k, v in attrs.items():
+            setattr(stub, k, v)
+        sys.modules[f"{pkg_name}.{name}"] = stub
+        setattr(pkg, name, stub)
+    if "yomitoku" not in sys.modules:
+        ytk = types.ModuleType("yomitoku")
+        ytk.__path__ = []
+        sys.modules["yomitoku"] = ytk
+    for name, attr in (("text_detector", "TextDetector"),
+                       ("text_recognizer", "TextRecognizer")):
+        full = f"yomitoku.{name}"
+        if full not in sys.modules:
+            stub = types.ModuleType(full)
+            setattr(stub, attr, object)
+            sys.modules[full] = stub
+
+    return _load("document_analyzer", f"{base}/document_analyzer.py")
+
+
 def build_reference_rtdetr(cfg):
     """Assemble the reference RTDETRv2 (backbone/encoder/decoder attribute
     names match yomitoku/models/rtdetr.py:9 so state_dict prefixes line

@@ -1,8 +1,10 @@
 """CSV exporter.
 
-Reference parity: yomitoku/export/export_csv.py — tables as grids (merged
-cells written once at their anchor), then paragraphs, all sorted by reading
-order and separated by blank lines.
+Byte-level output contract: yomitoku/export/export_csv.py — tables as
+grids (merged cells written once at their anchor), then paragraphs, all
+sorted by reading order and separated by blank lines.  The element-dict
+shape returned by ``convert_csv`` is part of the public API (CLI
+--combine / MCP consume it).
 """
 
 import csv
@@ -10,21 +12,27 @@ import csv
 from .figures import crop_figures
 
 
+def _plain(raw, ignore_line_break):
+    if ignore_line_break and raw is not None:
+        return raw.replace("\n", "")
+    return raw
+
+
 def table_to_csv(table, ignore_line_break):
     grid = [["" for _ in range(table.n_col)] for _ in range(table.n_row)]
     for cell in table.cells:
-        contents = cell.contents
-        if ignore_line_break and contents is not None:
-            contents = contents.replace("\n", "")
-        grid[cell.row - 1][cell.col - 1] = contents
+        grid[cell.row - 1][cell.col - 1] = _plain(
+            cell.contents, ignore_line_break
+        )
     return grid
 
 
 def paragraph_to_csv(paragraph, ignore_line_break):
-    contents = paragraph.contents
-    if ignore_line_break and contents is not None:
-        contents = contents.replace("\n", "")
-    return contents
+    return _plain(paragraph.contents, ignore_line_break)
+
+
+def _entry(kind, box, payload, order):
+    return {"type": kind, "box": box, "element": payload, "order": order}
 
 
 def convert_csv(
@@ -36,42 +44,32 @@ def convert_csv(
     export_figure_letter: bool = False,
     figure_dir="figures",
 ):
-    elements = []
-    for table in inputs.tables:
-        elements.append(
-            {
-                "type": "table",
-                "box": table.box,
-                "element": table_to_csv(table, ignore_line_break),
-                "order": table.order,
-            }
+    entries = [
+        _entry("table", t.box, table_to_csv(t, ignore_line_break), t.order)
+        for t in inputs.tables
+    ]
+    entries += [
+        _entry(
+            "paragraph", p.box, paragraph_to_csv(p, ignore_line_break),
+            p.order,
         )
-    for paragraph in inputs.paragraphs:
-        elements.append(
-            {
-                "type": "paragraph",
-                "box": paragraph.box,
-                "element": paragraph_to_csv(paragraph, ignore_line_break),
-                "order": paragraph.order,
-            }
-        )
+        for p in inputs.paragraphs
+    ]
     if export_figure_letter:
-        for figure in inputs.figures:
-            for paragraph in sorted(figure.paragraphs, key=lambda x: x.order):
-                elements.append(
-                    {
-                        "type": "paragraph",
-                        "box": paragraph.box,
-                        "element": paragraph_to_csv(paragraph, ignore_line_break),
-                        "order": figure.order,
-                    }
-                )
-
-    elements = sorted(elements, key=lambda x: x["order"])
+        # in-figure paragraphs ride their figure's reading order
+        entries += [
+            _entry(
+                "paragraph", p.box,
+                paragraph_to_csv(p, ignore_line_break), figure.order,
+            )
+            for figure in inputs.figures
+            for p in sorted(figure.paragraphs, key=lambda x: x.order)
+        ]
+    entries.sort(key=lambda e: e["order"])
 
     if export_figure:
         crop_figures(inputs.figures, img, out_path, figure_dir=figure_dir)
-    return elements
+    return entries
 
 
 def export_csv(
@@ -84,7 +82,7 @@ def export_csv(
     export_figure_letter: bool = False,
     figure_dir="figures",
 ):
-    elements = convert_csv(
+    entries = convert_csv(
         inputs,
         out_path,
         ignore_line_break,
@@ -93,16 +91,18 @@ def export_csv(
         export_figure_letter,
         figure_dir,
     )
-    save_csv(elements, out_path, encoding)
-    return elements
+    save_csv(entries, out_path, encoding)
+    return entries
 
 
 def save_csv(elements, out_path, encoding):
     with open(out_path, "w", newline="", encoding=encoding, errors="ignore") as f:
         writer = csv.writer(f, quoting=csv.QUOTE_MINIMAL)
         for element in elements:
-            if element["type"] == "table":
-                writer.writerows(element["element"])
-            else:
-                writer.writerow([element["element"]])
+            rows = (
+                element["element"]
+                if element["type"] == "table"
+                else [[element["element"]]]
+            )
+            writer.writerows(rows)
             writer.writerow([""])

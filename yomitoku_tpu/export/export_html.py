@@ -1,12 +1,18 @@
 """HTML exporter.
 
-Reference parity: yomitoku/export/export_html.py — escaped contents,
-``<table border="1">`` with row/colspan, ``<h1>`` section headings, lxml
-pretty-printing of the final document fragment.
+Byte-level output contract: yomitoku/export/export_html.py — escaped
+contents, ``<table border="1">`` with row/colspan, ``<h1>`` section
+headings, lxml pretty-printing of the final document fragment.  Pinned
+by tests/test_export.py + test_export_differential.py.
+
+Structure here: elements render straight to ``{"order", "html", ...}``
+fragments with inline f-string markup; table rows come from grouping the
+(already row-sorted) cell list by consecutive row numbers.
 """
 
 import re
 from html import escape
+from itertools import groupby
 
 from lxml import etree, html as lxml_html
 
@@ -20,66 +26,44 @@ def convert_text_to_html(text):
     return _URL_RE.sub(lambda m: escape(m.group(0)), escape(text))
 
 
-def add_td_tag(contents, row_span, col_span):
-    return f'<td rowspan="{row_span}" colspan="{col_span}">{contents}</td>'
-
-
-def add_table_tag(contents):
-    return f'<table border="1" style="border-collapse: collapse">{contents}</table>'
-
-
-def add_tr_tag(contents):
-    return f"<tr>{contents}</tr>"
-
-
-def add_p_tag(contents):
-    return f"<p>{contents}</p>"
-
-
-def add_h1_tag(contents):
-    return f"<h1>{contents}</h1>"
-
-
-def add_html_tag(text):
-    return f"<html><body>{text}</body></html>"
-
-
-def _finalize(contents, ignore_line_break):
-    if ignore_line_break:
-        return contents.replace("\n", "")
-    return contents.replace("\n", "<br>")
+def _html_text(raw, ignore_line_break):
+    newline = "" if ignore_line_break else "<br>"
+    return convert_text_to_html(raw).replace("\n", newline)
 
 
 def table_to_html(table, ignore_line_break):
-    pre_row = 1
-    rows = []
-    row = []
-    for cell in table.cells:
-        if cell.row != pre_row:
-            rows.append(add_tr_tag("".join(row)))
-            row = []
-        contents = cell.contents if cell.contents is not None else ""
-        contents = _finalize(convert_text_to_html(contents), ignore_line_break)
-        row.append(add_td_tag(contents, cell.row_span, cell.col_span))
-        pre_row = cell.row
-    rows.append(add_tr_tag("".join(row)))
+    def td(cell):
+        text = _html_text(cell.contents or "", ignore_line_break)
+        return (
+            f'<td rowspan="{cell.row_span}" colspan="{cell.col_span}">'
+            f"{text}</td>"
+        )
+
+    rows = [
+        f"<tr>{''.join(td(c) for c in run)}</tr>"
+        for _, run in groupby(table.cells, key=lambda c: c.row)
+    ] or ["<tr></tr>"]
     return {
         "box": table.box,
         "order": table.order,
-        "html": add_table_tag("".join(rows)),
+        "html": (
+            '<table border="1" style="border-collapse: collapse">'
+            f"{''.join(rows)}</table>"
+        ),
     }
 
 
 def paragraph_to_html(paragraph, ignore_line_break):
-    contents = _finalize(
-        convert_text_to_html(paragraph.contents), ignore_line_break
-    )
+    text = _html_text(paragraph.contents, ignore_line_break)
     if paragraph.role == "section_headings":
-        contents = add_h1_tag(contents)
+        text = f"<h1>{text}</h1>"
+    # always <p>-wrapped — for headings lxml splits the (invalid)
+    # <p><h1> nesting into an empty <p/> sibling, and that quirk is part
+    # of the reference's byte-level output
     return {
         "box": paragraph.box,
         "order": paragraph.order,
-        "html": add_p_tag(contents),
+        "html": f"<p>{text}</p>",
     }
 
 
@@ -92,20 +76,24 @@ def figure_to_html(
     figure_dir="figures",
     width=200,
 ):
-    elements = []
+    fragments = []
     paths = crop_figures(figures, img, out_path, figure_dir=figure_dir)
     for figure, rel_path in zip(figures, paths):
-        elements.append(
+        fragments.append(
             {
                 "order": figure.order,
                 "html": f'<img src="{rel_path}" width="{width}"><br>',
             }
         )
         if export_figure_letter:
-            for paragraph in sorted(figure.paragraphs, key=lambda x: x.order):
-                contents = paragraph_to_html(paragraph, ignore_line_break)
-                elements.append({"order": figure.order, "html": contents["html"]})
-    return elements
+            fragments += [
+                {
+                    "order": figure.order,
+                    "html": paragraph_to_html(p, ignore_line_break)["html"],
+                }
+                for p in sorted(figure.paragraphs, key=lambda x: x.order)
+            ]
+    return fragments
 
 
 def convert_html(
@@ -118,32 +106,30 @@ def convert_html(
     figure_width=200,
     figure_dir="figures",
 ):
-    elements = []
-    for table in inputs.tables:
-        elements.append(table_to_html(table, ignore_line_break))
-    for paragraph in inputs.paragraphs:
-        elements.append(paragraph_to_html(paragraph, ignore_line_break))
+    fragments = [table_to_html(t, ignore_line_break) for t in inputs.tables]
+    fragments += [
+        paragraph_to_html(p, ignore_line_break) for p in inputs.paragraphs
+    ]
     if export_figure:
-        elements.extend(
-            figure_to_html(
-                inputs.figures,
-                img,
-                out_path,
-                export_figure_letter,
-                ignore_line_break,
-                width=figure_width,
-                figure_dir=figure_dir,
-            ),
+        fragments += figure_to_html(
+            inputs.figures,
+            img,
+            out_path,
+            export_figure_letter,
+            ignore_line_break,
+            width=figure_width,
+            figure_dir=figure_dir,
         )
-    elements = sorted(elements, key=lambda x: x["order"])
+    fragments.sort(key=lambda f: f["order"])
 
-    html_string = "".join([element["html"] for element in elements])
-    if len(html_string) != 0:
-        parsed = lxml_html.fromstring(html_string)
-        formatted_html = etree.tostring(parsed, pretty_print=True, encoding="unicode")
-    else:
-        formatted_html = ""
-    return formatted_html, elements
+    joined = "".join(f["html"] for f in fragments)
+    if not joined:
+        return "", fragments
+    parsed = lxml_html.fromstring(joined)
+    return (
+        etree.tostring(parsed, pretty_print=True, encoding="unicode"),
+        fragments,
+    )
 
 
 def export_html(

@@ -1,9 +1,13 @@
 """Markdown exporter.
 
-Reference parity: yomitoku/export/export_markdown.py — escapes markdown
-specials, ``#`` for section headings, ``<br>`` (or strip) for line breaks,
-tables as pipe grids with a dash separator after the first row, figure
-crops saved as PNG with optional in-figure text.
+Byte-level output contract: yomitoku/export/export_markdown.py —
+markdown specials escaped, ``#`` for section headings, ``<br>`` (or
+strip) for line breaks, tables as pipe grids with a dash separator after
+the first row, figure crops saved as PNG with optional in-figure text.
+Pinned by tests/test_export.py + test_export_differential.py.
+
+Structure here: every element renders to an ``{"order", "md", ...}``
+fragment; the document is the order-sorted join of all fragments.
 """
 
 import re
@@ -17,40 +21,32 @@ def escape_markdown_special_chars(text):
     return _SPECIAL_CHARS.sub(r"\\\1", text)
 
 
-def _finalize(contents, ignore_line_break):
-    if ignore_line_break:
-        return contents.replace("\n", "")
-    return contents.replace("\n", "<br>")
+def _md_text(raw, ignore_line_break):
+    """Escape specials, then strip or <br>-encode newlines."""
+    newline = "" if ignore_line_break else "<br>"
+    return escape_markdown_special_chars(raw).replace("\n", newline)
 
 
 def paragraph_to_md(paragraph, ignore_line_break):
-    contents = escape_markdown_special_chars(paragraph.contents)
-    contents = _finalize(contents, ignore_line_break)
+    text = _md_text(paragraph.contents, ignore_line_break)
     if paragraph.role == "section_headings":
-        contents = "# " + contents
-    return {
-        "order": paragraph.order,
-        "box": paragraph.box,
-        "md": contents + "\n",
-    }
+        text = f"# {text}"
+    return {"order": paragraph.order, "box": paragraph.box, "md": text + "\n"}
 
 
 def table_to_md(table, ignore_line_break):
     grid = [["" for _ in range(table.n_col)] for _ in range(table.n_row)]
     for cell in table.cells:
-        contents = escape_markdown_special_chars(cell.contents)
-        contents = _finalize(contents, ignore_line_break)
-        grid[cell.row - 1][cell.col - 1] = contents
-
-    table_md = ""
-    for i in range(table.n_row):
-        table_md += "|" + "|".join(grid[i]) + "|\n"
-        if i == 0:
-            table_md += "|" + "|".join(["-"] * table.n_col) + "|\n"
+        grid[cell.row - 1][cell.col - 1] = _md_text(
+            cell.contents, ignore_line_break
+        )
+    rows = [f"|{'|'.join(row)}|" for row in grid]
+    if rows:  # dash separator right after the header row
+        rows[1:1] = [f"|{'|'.join('-' * table.n_col)}|"]
     return {
         "order": table.order,
         "box": table.box,
-        "md": table_md,
+        "md": "".join(r + "\n" for r in rows),
     }
 
 
@@ -63,20 +59,24 @@ def figure_to_md(
     width=200,
     figure_dir="figures",
 ):
-    elements = []
+    fragments = []
     paths = crop_figures(figures, img, out_path, figure_dir=figure_dir)
     for figure, rel_path in zip(figures, paths):
-        elements.append(
+        fragments.append(
             {
                 "order": figure.order,
                 "md": f'<img src="{rel_path}" width="{width}px"><br>',
             }
         )
         if export_figure_letter:
-            for paragraph in sorted(figure.paragraphs, key=lambda x: x.order):
-                element = paragraph_to_md(paragraph, ignore_line_break)
-                elements.append({"order": figure.order, "md": element["md"]})
-    return elements
+            fragments += [
+                {
+                    "order": figure.order,
+                    "md": paragraph_to_md(p, ignore_line_break)["md"],
+                }
+                for p in sorted(figure.paragraphs, key=lambda x: x.order)
+            ]
+    return fragments
 
 
 def convert_markdown(
@@ -89,26 +89,22 @@ def convert_markdown(
     figure_width=200,
     figure_dir="figures",
 ):
-    elements = []
-    for table in inputs.tables:
-        elements.append(table_to_md(table, ignore_line_break))
-    for paragraph in inputs.paragraphs:
-        elements.append(paragraph_to_md(paragraph, ignore_line_break))
+    fragments = [table_to_md(t, ignore_line_break) for t in inputs.tables]
+    fragments += [
+        paragraph_to_md(p, ignore_line_break) for p in inputs.paragraphs
+    ]
     if export_figure:
-        elements.extend(
-            figure_to_md(
-                inputs.figures,
-                img,
-                out_path,
-                export_figure_letter,
-                ignore_line_break,
-                figure_width,
-                figure_dir=figure_dir,
-            )
+        fragments += figure_to_md(
+            inputs.figures,
+            img,
+            out_path,
+            export_figure_letter,
+            ignore_line_break,
+            figure_width,
+            figure_dir=figure_dir,
         )
-    elements = sorted(elements, key=lambda x: x["order"])
-    markdown = "\n".join([element["md"] for element in elements])
-    return markdown, elements
+    fragments.sort(key=lambda f: f["order"])
+    return "\n".join(f["md"] for f in fragments), fragments
 
 
 def export_markdown(

@@ -1,15 +1,20 @@
 """Rule-based (LLM-free) structured field extraction.
 
-Reference parity: yomitoku/extractor/rule_pipeline.py:23-403 — scalar
-fields by cell_id / bbox / kv-key match / cell query / paragraph substring
-/ regex (in that priority); table fields by column-header matching against
-grid col_headers.  Output shape identical to the LLM pipeline.
+Behavioral contract: yomitoku/extractor/rule_pipeline.py — scalar fields
+resolve through a fixed priority ladder (cell_id, bbox, kv-key match,
+cell query, paragraph substring, regex over cells/paragraphs/words);
+table fields match schema columns against grid column headers.  The
+output shape is identical to the LLM pipeline's.
+
+Design here: the ladder is data — a list of (guard attribute, strategy)
+pairs walked in order until one lands — and the regex pass scans a
+single flattened (id, box, text) corpus instead of three bespoke loops.
 """
 
 import json
 import os
 import re
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 
@@ -25,270 +30,246 @@ from .schema import ExtractionSchema
 
 logger = set_logger(__name__, "INFO")
 
-
-def _normalize_text(text: str) -> str:
-    return re.sub(r"[ 　]", "", text)
+_SQUASH_SPACES = re.compile(r"[ 　]")
 
 
-def _single_cell_field(field_schema, cell, source, confidence="high"):
-    contents = cell.contents or ""
+def _squash(text: str) -> str:
+    return _SQUASH_SPACES.sub("", text)
+
+
+def _element(id, box, contents, label=None):
+    kw = {"label": label} if label is not None else {}
+    return ResolvedElement(id=id, box=list(box), contents=contents, **kw)
+
+
+def _field(schema, value, raw_text, elements, confidence, source):
     return ResolvedField(
-        name=field_schema.name,
-        value=contents,
-        raw_text=contents,
-        elements=[
-            ResolvedElement(id=cell.id, box=list(cell.box), contents=contents)
-        ],
-        confidence=confidence,
-        source=source,
+        name=schema.name, value=value, raw_text=raw_text,
+        elements=elements, confidence=confidence, source=source,
     )
 
 
-def _extract_scalar_by_cell_id(semantic_info, field_schema):
-    for table in semantic_info.tables:
-        cell = table.find_cell_by_id(field_schema.cell_id)
-        if cell is not None:
-            return _single_cell_field(field_schema, cell, "cell_id")
+def _cell_field(schema, cell, source, confidence="high"):
+    text = cell.contents or ""
+    return _field(
+        schema, text, text, [_element(cell.id, cell.box, text)],
+        confidence, source,
+    )
+
+
+# --------------------------------------------------------------------
+# scalar strategies — each returns a ResolvedField or None
+# --------------------------------------------------------------------
+
+
+def _by_cell_id(info, schema):
+    """Exact cell-id lookup across every table."""
+    hits = (t.find_cell_by_id(schema.cell_id) for t in info.tables)
+    cell = next((c for c in hits if c is not None), None)
+    return _cell_field(schema, cell, "cell_id") if cell else None
+
+
+def _by_bbox(info, schema):
+    """First cell overlapping the schema bbox."""
+    for table in info.tables:
+        found = table.search_cells_by_bbox(schema.bbox)
+        if found:
+            return _cell_field(schema, found[0], "bbox")
     return None
 
 
-def _extract_scalar_by_bbox(semantic_info, field_schema):
-    for table in semantic_info.tables:
-        cells = table.search_cells_by_bbox(field_schema.bbox)
+def _spread_axis(boxes) -> int:
+    """1 (sort by y) when the vertical spread of the box origins is at
+    least the horizontal spread, else 0."""
+    origins = np.asarray([b[:2] for b in boxes], np.float64)
+    spread = origins.max(axis=0) - origins.min(axis=0)
+    return 1 if spread[1] >= spread[0] else 0
+
+
+def _by_kv(info, schema):
+    """KV items whose key matches the description.  With merge_values,
+    every matched value cell joins (sorted along the dominant axis);
+    otherwise the first match wins."""
+    items = info.search_kv_items_by_key(schema.description)
+    if not items:
+        return None
+    if getattr(schema, "merge_values", False) and len(items) > 1:
+        cells = [kv["value"] for kv in items if kv["value"] is not None]
         if cells:
-            return _single_cell_field(field_schema, cells[0], "bbox")
+            axis = _spread_axis([c.box for c in cells])
+            cells.sort(key=lambda c: c.box[axis])
+            text = schema.separator.join(c.contents or "" for c in cells)
+            return _field(
+                schema, text, text,
+                [_element(c.id, c.box, c.contents or "") for c in cells],
+                "high", "kv",
+            )
+        return None
+    first = items[0]["value"]
+    return _cell_field(schema, first, "kv") if first is not None else None
+
+
+def _by_cell_query(info, schema):
+    """Table-level content query (search_cells_by_query)."""
+    for table in info.tables:
+        found = table.search_cells_by_query(schema.description)
+        if found:
+            return _cell_field(schema, found[0], "cell_query",
+                               confidence="medium")
     return None
 
 
-def _extract_scalar_by_regex(semantic_info, field_schema):
-    pattern = re.compile(field_schema.regex)
+def _by_paragraph(info, schema):
+    """Space-insensitive substring match over paragraph text."""
+    needle = _squash(schema.description)
+    for paragraph in info.paragraphs:
+        text = paragraph.contents
+        if text and needle in _squash(text):
+            return _field(
+                schema, text, text,
+                [_element(paragraph.id or "p0", paragraph.box, text)],
+                "medium", "paragraph",
+            )
+    return None
 
-    for table in semantic_info.tables:
+
+def _text_corpus(info):
+    """Every searchable (id, box, text) on the page, in match-priority
+    order: table cells (group-role and empty cells skipped), paragraphs,
+    then raw words."""
+    for table in info.tables:
         for cell in table.cells.values():
-            if cell.role == "group" or not cell.contents:
-                continue
-            m = pattern.search(cell.contents)
-            if m:
-                return ResolvedField(
-                    name=field_schema.name,
-                    value=m.group(0),
-                    raw_text=cell.contents,
-                    elements=[
-                        ResolvedElement(
-                            id=cell.id, box=list(cell.box), contents=cell.contents
-                        )
-                    ],
-                    confidence="high",
-                    source="regex",
-                )
+            if cell.role != "group" and cell.contents:
+                yield cell.id, cell.box, cell.contents
+    for i, paragraph in enumerate(info.paragraphs):
+        if paragraph.contents:
+            yield paragraph.id or f"p{i}", paragraph.box, paragraph.contents
+    for i, word in enumerate(info.words):
+        if word.content:
+            yield f"w{i}", quad_to_xyxy(word.points), word.content
 
-    for i, paragraph in enumerate(semantic_info.paragraphs):
-        if not paragraph.contents:
-            continue
-        m = pattern.search(paragraph.contents)
-        if m:
-            return ResolvedField(
-                name=field_schema.name,
-                value=m.group(0),
-                raw_text=paragraph.contents,
-                elements=[
-                    ResolvedElement(
-                        id=paragraph.id or f"p{i}",
-                        box=list(paragraph.box),
-                        contents=paragraph.contents,
-                    )
-                ],
-                confidence="high",
-                source="regex",
-            )
 
-    for i, word in enumerate(semantic_info.words):
-        if not word.content:
-            continue
-        m = pattern.search(word.content)
+def _by_regex(info, schema):
+    """First regex hit anywhere in the page corpus; the matched span is
+    the value, the host text the raw_text."""
+    pattern = re.compile(schema.regex)
+    for eid, box, text in _text_corpus(info):
+        m = pattern.search(text)
         if m:
-            return ResolvedField(
-                name=field_schema.name,
-                value=m.group(0),
-                raw_text=word.content,
-                elements=[
-                    ResolvedElement(
-                        id=f"w{i}",
-                        box=quad_to_xyxy(word.points),
-                        contents=word.content,
-                    )
-                ],
-                confidence="high",
-                source="regex",
+            return _field(
+                schema, m.group(0), text, [_element(eid, box, text)],
+                "high", "regex",
             )
     return None
 
 
-def _extract_scalar_field(semantic_info, field_schema):
-    if field_schema.cell_id:
-        result = _extract_scalar_by_cell_id(semantic_info, field_schema)
-        if result is not None:
-            return result
-
-    if field_schema.bbox:
-        result = _extract_scalar_by_bbox(semantic_info, field_schema)
-        if result is not None:
-            return result
-
-    if field_schema.description:
-        kv_results = semantic_info.search_kv_items_by_key(field_schema.description)
-        if kv_results:
-            if getattr(field_schema, "merge_values", False) and len(kv_results) > 1:
-                value_cells = [
-                    kv["value"] for kv in kv_results if kv["value"] is not None
-                ]
-                if value_cells:
-                    boxes = [cell.box for cell in value_cells]
-                    x_spread = max(b[0] for b in boxes) - min(b[0] for b in boxes)
-                    y_spread = max(b[1] for b in boxes) - min(b[1] for b in boxes)
-                    value_cells.sort(
-                        key=lambda c: c.box[1] if y_spread >= x_spread else c.box[0]
-                    )
-                    sep = field_schema.separator
-                    contents = sep.join(c.contents or "" for c in value_cells)
-                    return ResolvedField(
-                        name=field_schema.name,
-                        value=contents,
-                        raw_text=contents,
-                        elements=[
-                            ResolvedElement(
-                                id=c.id, box=list(c.box), contents=c.contents or ""
-                            )
-                            for c in value_cells
-                        ],
-                        confidence="high",
-                        source="kv",
-                    )
-            else:
-                value_cell = kv_results[0]["value"]
-                if value_cell is not None:
-                    return _single_cell_field(field_schema, value_cell, "kv")
-
-    if field_schema.description:
-        for table in semantic_info.tables:
-            cells = table.search_cells_by_query(field_schema.description)
-            if cells:
-                return _single_cell_field(
-                    field_schema, cells[0], "cell_query", confidence="medium"
-                )
-
-    if field_schema.description:
-        q = _normalize_text(field_schema.description)
-        for paragraph in semantic_info.paragraphs:
-            if paragraph.contents and q in _normalize_text(paragraph.contents):
-                return ResolvedField(
-                    name=field_schema.name,
-                    value=paragraph.contents,
-                    raw_text=paragraph.contents,
-                    elements=[
-                        ResolvedElement(
-                            id=paragraph.id or "p0",
-                            box=list(paragraph.box),
-                            contents=paragraph.contents,
-                        )
-                    ],
-                    confidence="medium",
-                    source="paragraph",
-                )
-
-    if field_schema.regex:
-        result = _extract_scalar_by_regex(semantic_info, field_schema)
-        if result is not None:
-            return result
-
-    return ResolvedField(
-        name=field_schema.name, value="", raw_text="", elements=[],
-        confidence="low", source="not_found",
-    )
+#: the priority ladder: (schema attribute that must be set, strategy)
+_SCALAR_LADDER = (
+    ("cell_id", _by_cell_id),
+    ("bbox", _by_bbox),
+    ("description", _by_kv),
+    ("description", _by_cell_query),
+    ("description", _by_paragraph),
+    ("regex", _by_regex),
+)
 
 
-def _match_col_header(table, header_cell_ids, col_schema):
+def _extract_scalar_field(info, schema) -> ResolvedField:
+    for guard, strategy in _SCALAR_LADDER:
+        if getattr(schema, guard, None):
+            hit = strategy(info, schema)
+            if hit is not None:
+                return hit
+    return _field(schema, "", "", [], "low", "not_found")
+
+
+# --------------------------------------------------------------------
+# table fields
+# --------------------------------------------------------------------
+
+
+def _header_matches(table, header_cell_ids, col_schema) -> bool:
+    """Does this grid column's header stack satisfy the schema column?
+    cell_id beats bbox beats text (description, falling back to name)."""
     if col_schema.cell_id:
         return col_schema.cell_id in header_cell_ids
     if col_schema.bbox:
-        for cid in header_cell_ids:
-            cell = table.cells.get(cid)
-            if cell and cell.box:
-                if calc_overlap_ratio(col_schema.bbox, list(cell.box))[0] > 0.5:
-                    return True
-        return False
-    match_key = col_schema.description if col_schema.description else col_schema.name
-    header_text = "".join(
-        (table.cells.get(cid).contents or "")
-        for cid in header_cell_ids
-        if table.cells.get(cid)
-    )
-    return _normalize_text(match_key) in _normalize_text(header_text)
-
-
-def _extract_table_field(semantic_info, field_schema):
-    if not field_schema.columns:
-        return ResolvedField(
-            name=field_schema.name, value=[], raw_text="", elements=[],
-            confidence="low", source="not_found",
+        return any(
+            calc_overlap_ratio(col_schema.bbox, list(cell.box))[0] > 0.5
+            for cell in map(table.cells.get, header_cell_ids)
+            if cell and cell.box
         )
+    needle = col_schema.description or col_schema.name
+    stacked = "".join(
+        cell.contents or ""
+        for cell in map(table.cells.get, header_cell_ids)
+        if cell
+    )
+    return _squash(needle) in _squash(stacked)
 
-    records = []
-    elements = []
-    for table in semantic_info.tables:
-        for grid in table.grids:
-            col_index_map: Dict[str, List[int]] = {}
-            for col_idx, header_cell_ids in enumerate(grid.col_headers):
-                for col_schema in field_schema.columns:
-                    if _match_col_header(table, header_cell_ids, col_schema):
-                        col_index_map.setdefault(col_schema.name, []).append(col_idx)
-                        break
-            if not col_index_map:
+
+def _assign_columns(table, grid, columns) -> Dict[str, List[int]]:
+    """grid column -> first matching schema column; returned as
+    {schema name: [grid col indices]} in first-match order."""
+    col_map: Dict[str, List[int]] = {}
+    for col_idx, header_ids in enumerate(grid.col_headers):
+        name = next(
+            (
+                cs.name for cs in columns
+                if _header_matches(table, header_ids, cs)
+            ),
+            None,
+        )
+        if name is not None:
+            col_map.setdefault(name, []).append(col_idx)
+    return col_map
+
+
+def _collect_row(table, row, col_map, elements) -> Optional[dict]:
+    """One output record: per schema column, the concatenated cell text
+    and contributing cell ids.  Appends drawn cells to ``elements``."""
+    record = {}
+    for name, col_indices in col_map.items():
+        texts, cell_ids = [], []
+        for ci in col_indices:
+            cid = row[ci] if ci < len(row) else None
+            if cid is None:
                 continue
+            cell_ids.append(cid)
+            cell = table.cells.get(cid)
+            if cell:
+                text = cell.contents or ""
+                texts.append(text)
+                elements.append(_element(cid, cell.box, text, label=name))
+        record[name] = {"value": "".join(texts), "cell_ids": cell_ids}
+    return record or None
 
-            all_header_ids = {
-                cid for col_ids in grid.col_headers for cid in col_ids
+
+def _extract_table_field(info, schema) -> ResolvedField:
+    if not schema.columns:
+        return _field(schema, [], "", [], "low", "not_found")
+
+    records: List[dict] = []
+    elements: List[ResolvedElement] = []
+    for table in info.tables:
+        for grid in table.grids:
+            col_map = _assign_columns(table, grid, schema.columns)
+            if not col_map:
+                continue
+            header_ids = {
+                cid for stack in grid.col_headers for cid in stack
             }
             for row in grid.data:
-                non_none = [cid for cid in row if cid is not None]
-                if non_none and all(cid in all_header_ids for cid in non_none):
+                present = [cid for cid in row if cid is not None]
+                if present and header_ids.issuperset(present):
                     continue  # pure header row
-                row_record = {}
-                for schema_col_name, col_indices in col_index_map.items():
-                    values, cell_ids = [], []
-                    for col_idx in col_indices:
-                        if col_idx >= len(row):
-                            continue
-                        cell_id = row[col_idx]
-                        if cell_id is None:
-                            continue
-                        cell = table.cells.get(cell_id)
-                        if cell:
-                            contents = cell.contents or ""
-                            values.append(contents)
-                            cell_ids.append(cell_id)
-                            elements.append(
-                                ResolvedElement(
-                                    id=cell_id, box=list(cell.box),
-                                    contents=contents, label=schema_col_name,
-                                )
-                            )
-                        else:
-                            cell_ids.append(cell_id)
-                    row_record[schema_col_name] = {
-                        "value": "".join(values), "cell_ids": cell_ids,
-                    }
-                if row_record:
-                    records.append(row_record)
+                record = _collect_row(table, row, col_map, elements)
+                if record:
+                    records.append(record)
 
-    return ResolvedField(
-        name=field_schema.name,
-        value=records,
-        raw_text="",
-        elements=elements,
-        confidence="high" if records else "low",
-        source="grid" if records else "not_found",
-    )
+    if records:
+        return _field(schema, records, "", elements, "high", "grid")
+    return _field(schema, [], "", elements, "low", "not_found")
 
 
 def run_rule_extraction(
@@ -301,13 +282,11 @@ def run_rule_extraction(
     outdir: str = "results",
     filename: str = "output",
 ) -> Dict[str, Any]:
-    resolved: List[ResolvedField] = []
-    for field_schema in schema.fields:
-        if field_schema.structure == "table":
-            resolved.append(_extract_table_field(semantic_info, field_schema))
-        else:
-            resolved.append(_extract_scalar_field(semantic_info, field_schema))
-
+    resolved = [
+        (_extract_table_field if f.structure == "table"
+         else _extract_scalar_field)(semantic_info, f)
+        for f in schema.fields
+    ]
     resolved = _normalize_resolved_fields(
         resolved, schema, skip_normalize=no_normalize
     )
