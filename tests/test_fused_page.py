@@ -1,0 +1,113 @@
+"""Fused det+layout page program (ops/fused_page.py): the one-dispatch
+packed-wire path must reproduce the two separate per-model page programs
+bit-for-bit (same ops, same inputs — only the dispatch/readback schedule
+differs), and DocumentAnalyzer._run_fused must match the threaded page
+path end-to-end."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from yomitoku_tpu.config import structured  # noqa: E402
+from yomitoku_tpu.ops.device_crop import DevicePage  # noqa: E402
+from yomitoku_tpu.ops.fused_page import FusedDetLayout  # noqa: E402
+
+
+def _page(h=256, w=320, seed=3):
+    rng = np.random.RandomState(seed)
+    page = np.full((h, w, 3), 255, np.uint8)
+    for _ in range(12):
+        x0, y0 = rng.randint(0, w - 90), rng.randint(0, h - 40)
+        page[y0 : y0 + 24, x0 : x0 + 80] = rng.randint(0, 120, 3)
+    return page
+
+
+@pytest.fixture(scope="module")
+def models():
+    from yomitoku_tpu.configs import (
+        LayoutParserRTDETRv2V2Config,
+        TextDetectorDBNetV2_1Config,
+    )
+    from yomitoku_tpu.models.dbnet import DBNet
+    from yomitoku_tpu.models.rtdetr import RTDETRv2
+
+    det_cfg = structured(TextDetectorDBNetV2_1Config)
+    det = DBNet(det_cfg)
+    det.params = det.init_params(0)
+    lay_cfg = structured(LayoutParserRTDETRv2V2Config)
+    lay_cfg.data.img_size = [128, 128]
+    lay_cfg.RTDETRTransformerv2.eval_spatial_size = [128, 128]
+    lay_cfg.RTDETRTransformerv2.num_queries = 20
+    lay = RTDETRv2(lay_cfg)
+    lay.params = lay.init_params(0)
+    return det, lay
+
+
+def test_fused_matches_separate_programs(models):
+    det, lay = models
+    img = _page()
+    page = DevicePage(img)
+    det_hw = (128, 160)
+    lay_hw = (128, 128)
+
+    fused = FusedDetLayout(det, lay, num_top_queries=20)
+    prob_f, packed_f = fused(page, page.hw, det_hw, lay_hw)
+
+    prob_s = det.forward_binary_from_page(page.dev, page.hw, det_hw)
+    from yomitoku_tpu.ops.device_crop import region_mats
+    from yomitoku_tpu.postprocessor.rtdetr_postprocessor import (
+        RTDETRPostProcessor,
+    )
+
+    h, w = page.hw
+    mats, _ = region_mats([(0, 0, w, h)], lay_hw)
+    preds = lay.forward_from_page(page.dev, jnp.asarray(mats), lay_hw)
+    post = RTDETRPostProcessor(num_classes=6, num_top_queries=20)
+    packed_s = np.asarray(post.topk_on_device(preds, [[w, h]]))
+
+    np.testing.assert_array_equal(prob_f, prob_s)
+    np.testing.assert_allclose(packed_f, packed_s, atol=1e-5)
+
+
+def test_document_analyzer_fused_matches_threaded(monkeypatch):
+    """The full fused run must equal the threaded page path (same device
+    programs, different schedule)."""
+    import yomitoku_tpu.ops.device_crop as dc
+    from yomitoku_tpu.document_analyzer import DocumentAnalyzer
+
+    monkeypatch.setattr(dc, "device_crops_enabled", lambda: True)
+
+    analyzer = DocumentAnalyzer(
+        configs={
+            "ocr": {
+                "text_detector": {
+                    "path_cfg": "tests/yaml/det_small.yaml",
+                    "from_pretrained": False,
+                },
+                "text_recognizer": {
+                    "path_cfg": "tests/yaml/rec_small.yaml",
+                    "from_pretrained": False,
+                },
+            },
+            "layout_analyzer": {
+                "layout_parser": {
+                    "path_cfg": "tests/yaml/layout_small.yaml",
+                    "from_pretrained": False,
+                },
+                "table_structure_recognizer": {
+                    "path_cfg": "tests/yaml/layout_small.yaml",
+                    "from_pretrained": False,
+                },
+            },
+        },
+        device="cpu",
+    )
+    img = _page(160, 240, seed=5)
+
+    monkeypatch.setenv("YOMITOKU_TPU_NO_FUSED_PAGE", "1")
+    threaded, _, _ = analyzer(img)
+    monkeypatch.delenv("YOMITOKU_TPU_NO_FUSED_PAGE")
+    fused, _, _ = analyzer(img)
+    assert fused.model_dump() == threaded.model_dump()

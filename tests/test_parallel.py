@@ -165,13 +165,34 @@ def test_rtdetr_dp_batch_parity():
     out = {k: np.asarray(v) for k, v in m.forward(tiles).items()}
     # Sharded vs solo compiles fuse reductions differently; with random
     # weights the encoder scores are tightly clustered, so a few queries
-    # at the top-300 selection boundary may swap.  Require >=99% of the
-    # selected queries to match exactly (elementwise) and the rest to be
-    # selection swaps, not numeric corruption.
-    for key, atol in (("pred_boxes", 1e-4), ("pred_logits", 1e-3)):
-        close = np.isclose(out[key], solo[key], atol=atol)
-        frac = close.mean()
-        assert frac > 0.99, f"{key}: only {frac:.4f} elementwise-close"
+    # at the top-300 selection boundary may swap.  Verify at QUERY-ROW
+    # granularity that every divergence is a selection swap, not numeric
+    # corruption: >=97% of rows must match in place, and each mismatched
+    # row must pair (boxes AND logits) with some solo row of the same
+    # image — except at most 3 boundary rows per image whose swapped-in
+    # query was never in solo's top-k at all.
+    B, Q = out["pred_boxes"].shape[:2]
+    for b in range(B):
+        bo, bs = out["pred_boxes"][b], solo["pred_boxes"][b]
+        lo, ls = out["pred_logits"][b], solo["pred_logits"][b]
+        inplace = (
+            np.isclose(bo, bs, atol=1e-4).all(-1)
+            & np.isclose(lo, ls, atol=1e-3).all(-1)
+        )
+        assert inplace.mean() > 0.97, (
+            f"img {b}: only {inplace.mean():.4f} of query rows match"
+        )
+        boundary = 0
+        for q in np.nonzero(~inplace)[0]:
+            d = np.abs(bs - bo[q]).max(-1)
+            j = int(d.argmin())
+            if d[j] < 1e-3 and np.allclose(lo[q], ls[j], atol=5e-3):
+                continue  # a swap: same query content, different slot
+            boundary += 1
+        assert boundary <= 3, (
+            f"img {b}: {boundary} mismatched rows pair with no solo row "
+            "(numeric corruption, not selection swaps)"
+        )
 
 
 def test_uneven_batch_falls_back_to_single_device():
@@ -199,3 +220,67 @@ def test_dp_mesh_gating():
     assert m is not None and m.shape["dp"] == 8
     assert dp_mesh(4).shape["dp"] == 4
     assert dp_mesh(99).shape["dp"] == 8  # clamped to available
+
+
+def test_document_analyzer_batch_page_dp():
+    """batch() with num_devices>1 issues stage-batched, mesh-sharded
+    forwards (page-axis DP, SURVEY §2.3) and keeps pages independent."""
+    from yomitoku_tpu.document_analyzer import DocumentAnalyzer
+
+    analyzer = DocumentAnalyzer(
+        configs={
+            "ocr": {
+                "text_detector": {
+                    "path_cfg": "tests/yaml/det_small.yaml",
+                    "from_pretrained": False,
+                },
+                "text_recognizer": {
+                    "path_cfg": "tests/yaml/rec_small.yaml",
+                    "from_pretrained": False,
+                },
+            },
+            "layout_analyzer": {
+                "layout_parser": {
+                    "path_cfg": "tests/yaml/layout_small.yaml",
+                    "from_pretrained": False,
+                },
+                "table_structure_recognizer": {
+                    "path_cfg": "tests/yaml/layout_small.yaml",
+                    "from_pretrained": False,
+                },
+            },
+        },
+        device="cpu",
+        num_devices=8,
+    )
+    assert analyzer.text_detector.model._mesh is not None
+
+    placements = []
+    for model in (analyzer.text_detector.model,
+                  analyzer.layout.layout_parser.model):
+        orig = model.place_batch
+
+        def spy(arr, _orig=orig, _m=model):
+            out = _orig(arr)
+            placements.append(
+                (_m.trace_stage, np.asarray(arr).shape[0],
+                 len(out.sharding.device_set))
+            )
+            return out
+
+        model.place_batch = spy
+
+    img = (np.random.RandomState(3).rand(160, 240, 3) * 255).astype(np.uint8)
+    results = analyzer.batch([img] * 8)
+    assert len(results) == 8
+
+    # the det and layout stages each saw ONE 8-page batch sharded over
+    # all 8 devices (not 8 batch-1 forwards)
+    assert ("det", 8, 8) in placements
+    assert ("layout", 8, 8) in placements
+
+    # identical input pages -> identical per-page results (no cross-page
+    # offset/ownership mixups in the stage batching)
+    first = results[0][0].model_dump()
+    for res, _, _ in results[1:]:
+        assert res.model_dump() == first

@@ -1,14 +1,19 @@
 """DocumentAnalyzer: the full-page pipeline.
 
-Reference parity: yomitoku/document_analyzer.py — detector ∥ layout
-analysis, optional split of detected quads at table-cell boundaries,
-recognition, aggregation (words -> cells/paragraphs by 0.5-containment,
-ruby filtering, figures absorbing contained paragraphs, reading order with
-header/body/footer offsets).
+Behavioral contract: reference yomitoku/document_analyzer.py — detector ∥
+layout analysis, optional split of detected quads at table-cell
+boundaries, recognition, aggregation (words -> cells/paragraphs by
+0.5-containment, ruby filtering, figures absorbing contained paragraphs,
+reading order with header/body/footer offsets).  Pinned by the
+differential fuzz in tests/test_aggregate_differential.py.
 
-TPU adaptation: detector and layout run concurrently in a 2-worker thread
-pool like the reference; each is its own jitted XLA program so the host
-threads just drive dispatch.
+TPU-host redesign: where the reference walks O(elements x words) Python
+pair loops, everything geometric here is matrix-first — one containment
+matrix (utils.misc.overlap_ratio_matrix) drives word->cell/paragraph
+assignment, figure absorption, and the table-boundary quad splitting;
+size statistics for the ruby filter run as numpy histogram/median ops.
+Detector and layout run concurrently in a 2-worker thread pool; each is
+its own jitted XLA program so the host threads just drive dispatch.
 """
 
 import asyncio
@@ -24,196 +29,207 @@ from .reading_order import prediction_reading_order
 from .schemas import DocumentAnalyzerSchema, FigureSchema, ParagraphSchema
 from .text_detector import TextDetector
 from .text_recognizer import TextRecognizer
-from .utils.misc import calc_overlap_ratio, is_contained, quad_to_xyxy
+from .utils.misc import containment_matrix, overlap_ratio_matrix, quad_to_xyxy
 
 
 def combine_flags(flag1, flag2):
     return [f1 or f2 for f1, f2 in zip(flag1, flag2)]
 
 
+def _box_areas(elements):
+    """(N,) float areas of .box xyxy attributes."""
+    if not elements:
+        return np.zeros(0)
+    b = np.asarray([e.box for e in elements], np.float64)
+    return (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+
+
 def judge_page_direction(paragraphs):
-    """Direction with the larger total paragraph area wins
-    (reference document_analyzer.py:23)."""
-    h_sum_area = 0
-    v_sum_area = 0
-    for paragraph in paragraphs:
-        x1, y1, x2, y2 = paragraph.box
-        area = (x2 - x1) * (y2 - y1)
-        if paragraph.direction == "horizontal":
-            h_sum_area += area
-        else:
-            v_sum_area += area
-    return "vertical" if v_sum_area > h_sum_area else "horizontal"
+    """The direction covering more total paragraph area wins; anything
+    not explicitly "horizontal" (including None) counts as vertical, and
+    the tie goes to horizontal."""
+    areas = _box_areas(paragraphs)
+    horiz = np.fromiter(
+        (p.direction == "horizontal" for p in paragraphs), bool, len(areas)
+    )
+    return "vertical" if areas[~horiz].sum() > areas[horiz].sum() else "horizontal"
 
 
 def extract_paragraph_within_figure(paragraphs, figures):
-    """Figures absorb paragraphs 0.7-contained in them, ordered internally
-    (reference document_analyzer.py:43)."""
+    """Each figure absorbs the paragraphs 0.7-contained in it (shared
+    objects, re-ordered internally by the figure's own voted direction).
+    Returns (figure schemas, per-paragraph absorbed mask)."""
+    inside = containment_matrix(
+        [f.box for f in figures], [p.box for p in paragraphs], threshold=0.7
+    )
     new_figures = []
-    check_list = [False] * len(paragraphs)
-    for figure in figures:
-        fig = {"box": figure.box, "order": 0}
-        contained = []
-        for i, paragraph in enumerate(paragraphs):
-            if is_contained(fig["box"], paragraph.box, threshold=0.7):
-                contained.append(paragraph)
-                check_list[i] = True
-        fig["direction"] = judge_page_direction(contained)
-        order = "left2right" if fig["direction"] == "horizontal" else "right2left"
-        fig_paragraphs = prediction_reading_order(contained, order)
-        fig["paragraphs"] = sorted(fig_paragraphs, key=lambda x: x.order)
-        new_figures.append(FigureSchema(**fig))
-    return new_figures, check_list
+    for figure, row in zip(figures, inside):
+        members = [paragraphs[i] for i in np.nonzero(row)[0]]
+        direction = judge_page_direction(members)
+        prediction_reading_order(
+            members, "left2right" if direction == "horizontal" else "right2left"
+        )
+        new_figures.append(
+            FigureSchema(
+                box=figure.box, order=0, direction=direction,
+                paragraphs=sorted(members, key=lambda p: p.order),
+            )
+        )
+    absorbed = inside.any(axis=0) if len(figures) else np.zeros(len(paragraphs), bool)
+    return new_figures, absorbed.tolist()
 
 
-_RE_HIRAGANA_ONLY = re.compile(r"^[぀-ゟ]+$")
-_RE_KATAKANA_ONLY = re.compile(r"^[゠-ヿ]+$")
+#: a pure-kana token: entirely hiragana, or entirely katakana
+_RE_KANA_ONLY = re.compile(r"^(?:[぀-ゟ]+|[゠-ヿ]+)$")
 
 
-def _mad_threshold(sizes):
-    """Median-absolute-deviation fallback threshold
-    (reference document_analyzer.py:75)."""
-    sorted_sizes = sorted(sizes)
-    n = len(sorted_sizes)
-    median_s = sorted_sizes[n // 2]
-    if median_s == 0:
-        return None
-    deviations = sorted(abs(s - median_s) for s in sizes)
-    mad = deviations[n // 2]
-    if mad == 0:
-        return None
-    threshold = median_s - 2 * mad
-    return threshold if threshold > 0 else None
+def _upper_median(values):
+    """sorted(values)[n // 2] — the upper-median convention the size
+    statistics use throughout."""
+    return np.sort(values)[values.size // 2]
 
 
 def _compute_ruby_threshold(sizes, k):
-    """Log-size histogram valley split when bimodality is strong
-    (sep >= k), else MAD fallback (reference document_analyzer.py:95)."""
-    n = len(sizes)
-    if n < 3:
-        return None
-    log_sizes = [math.log(s) for s in sizes]
-    num_bins = max(8, int(math.sqrt(n)))
-    min_val, max_val = min(log_sizes), max(log_sizes)
-    if max_val - min_val < 1e-9:
-        return None
-    bin_width = (max_val - min_val) / num_bins
-    hist = [0] * num_bins
-    for v in log_sizes:
-        idx = min(int((v - min_val) / bin_width), num_bins - 1)
-        hist[idx] += 1
+    """Size cut separating a furigana mode from the body-text mode.
 
-    p1 = max(range(num_bins), key=lambda i: hist[i])
-    p2, p2_val = None, -1
-    for i in range(num_bins):
-        if abs(i - p1) >= 2 and hist[i] > p2_val:
-            p2, p2_val = i, hist[i]
-    if p2 is None:
-        return _mad_threshold(sizes)
-    lo, hi = min(p1, p2), max(p1, p2)
-    if hi - lo <= 1:
-        return _mad_threshold(sizes)
-    valley_range = range(lo + 1, hi)
-    valley_val = min(hist[i] for i in valley_range)
-    valley_bins = [i for i in valley_range if hist[i] == valley_val]
-    valley = valley_bins[len(valley_bins) // 2]
-    sep = (hist[p1] + hist[p2]) / (2 * valley_val + 1e-6)
-    if sep >= k:
-        return math.exp(min_val + (valley + 0.5) * bin_width)
-    return _mad_threshold(sizes)
+    The log-size histogram is scanned for its two dominant peaks; when
+    the valley between them is deep enough (peak mass / valley mass >=
+    ``k``) the split lands at the valley center, otherwise — and when no
+    second peak exists at all — a robust median - 2*MAD cut is used.
+    Returns None when no defensible split exists."""
+    s = np.asarray(sizes, np.float64)
+    if s.size < 3:
+        return None
+    logs = np.log(s)
+    lo, hi = logs.min(), logs.max()
+    if hi - lo < 1e-9:
+        return None
+    nbins = max(8, int(math.sqrt(s.size)))
+    width = (hi - lo) / nbins
+    bins = np.minimum(((logs - lo) / width).astype(np.int64), nbins - 1)
+    hist = np.bincount(bins, minlength=nbins)
+
+    p1 = int(hist.argmax())
+    eligible = np.abs(np.arange(nbins) - p1) >= 2
+    if not eligible.any():
+        return _mad_cut(s)
+    p2 = int(np.where(eligible, hist, -1).argmax())
+    a, b = sorted((p1, p2))
+    if b - a <= 1:
+        return _mad_cut(s)
+    between = hist[a + 1 : b]
+    ties = np.nonzero(between == between.min())[0]
+    valley = a + 1 + int(ties[ties.size // 2])
+    bimodality = (hist[p1] + hist[p2]) / (2 * hist[valley] + 1e-6)
+    if bimodality >= k:
+        return math.exp(lo + (valley + 0.5) * width)
+    return _mad_cut(s)
+
+
+def _mad_cut(s):
+    """median - 2*MAD, or None when the center/spread collapses."""
+    med = _upper_median(s)
+    if med == 0:
+        return None
+    mad = _upper_median(np.abs(s - med))
+    if mad == 0:
+        return None
+    cut = med - 2 * mad
+    return float(cut) if cut > 0 else None
+
+
+# back-compat alias (reference name)
+_mad_threshold = _mad_cut
 
 
 def filter_ruby(contained_words, element_direction, ruby_threshold):
-    """Drop small hiragana/katakana-only words below the size split
-    (furigana; reference document_analyzer.py:155)."""
+    """Drop words that sit below the furigana size split AND consist of
+    kana only (spaces ignored).  ``element_direction`` is unused but kept
+    for signature parity."""
     if len(contained_words) <= 1:
         return contained_words
-    sizes = []
-    for word in contained_words:
-        x1, y1, x2, y2 = word.box
-        sizes.append(math.sqrt((x2 - x1) * (y2 - y1)))
-    valid_sizes = [s for s in sizes if s > 0]
-    if len(valid_sizes) < 2:
+    area = _box_areas(contained_words)
+    with np.errstate(invalid="ignore"):
+        sizes = np.sqrt(area)
+    positive = sizes[sizes > 0]
+    if positive.size < 2:
         return contained_words
-    threshold = _compute_ruby_threshold(valid_sizes, ruby_threshold)
-    if threshold is None:
+    cut = _compute_ruby_threshold(positive, ruby_threshold)
+    if cut is None:
         return contained_words
-    filtered = []
-    for word, s in zip(contained_words, sizes):
-        if s > 0 and s < threshold:
-            text = word.contents.replace(" ", "")
-            if _RE_HIRAGANA_ONLY.match(text) or _RE_KATAKANA_ONLY.match(text):
-                continue
-        filtered.append(word)
-    return filtered
+    small = (sizes > 0) & (sizes < cut)
+    return [
+        w for w, is_small in zip(contained_words, small)
+        if not (is_small and _RE_KANA_ONLY.match(w.contents.replace(" ", "")))
+    ]
+
+
+def _assemble_text_block(words, word_boxes, member_idx, ignore_ruby,
+                         ruby_threshold):
+    """Compose the text block for one element from its member word
+    indices: majority direction vote (ties vertical), optional ruby
+    filtering, intra-element reading order, newline join.  Returns
+    (text, direction) — (None, None) when nothing remains."""
+    if len(member_idx) == 0:
+        return None, None
+    members = [
+        ParagraphSchema(
+            box=word_boxes[i], contents=words[i].content,
+            direction=words[i].direction, order=0, role=None,
+        )
+        for i in member_idx
+    ]
+    n_horizontal = sum(m.direction == "horizontal" for m in members)
+    n_vertical = sum(m.direction == "vertical" for m in members)
+    direction = "horizontal" if n_horizontal > n_vertical else "vertical"
+    if ignore_ruby:
+        members = filter_ruby(members, direction, ruby_threshold)
+        if not members:
+            return None, None
+    prediction_reading_order(
+        members, "left2right" if direction == "horizontal" else "right2left"
+    )
+    members.sort(key=lambda m: m.order)
+    return "\n".join(m.contents for m in members), direction
 
 
 def extract_words_within_element(
     pred_words, element, ignore_ruby=False, ruby_threshold=2.0,
     word_boxes=None,
 ):
-    """Assign words 0.5-contained in the element, vote direction, order
-    them, and join to a text block (reference document_analyzer.py:195).
-
-    ``word_boxes``: optional precomputed ``quad_to_xyxy`` boxes for
-    ``pred_words`` — callers looping over many elements should compute
-    them once (aggregate() does)."""
-    contained_words = []
-    check_list = [False] * len(pred_words)
-    if pred_words:
-        from .utils.misc import containment_matrix
-
-        if word_boxes is None:
-            word_boxes = [quad_to_xyxy(w.points) for w in pred_words]
-        inside = containment_matrix([element.box], word_boxes, threshold=0.5)[0]
-        for i, word in enumerate(pred_words):
-            if inside[i]:
-                check_list[i] = True
-                contained_words.append(
-                    ParagraphSchema(
-                        box=word_boxes[i],
-                        contents=word.content,
-                        direction=word.direction,
-                        order=0,
-                        role=None,
-                    )
-                )
-    if len(contained_words) == 0:
-        return None, None, check_list
-
-    word_direction = [word.direction for word in contained_words]
-    cnt_horizontal = word_direction.count("horizontal")
-    cnt_vertical = word_direction.count("vertical")
-    element_direction = (
-        "horizontal" if cnt_horizontal > cnt_vertical else "vertical"
+    """API-parity wrapper over ``_assemble_text_block``: selects the words
+    0.5-contained in ``element`` and composes their text block.  Callers
+    looping over many elements should precompute ``word_boxes`` once
+    (aggregate() builds one containment matrix for ALL elements instead)."""
+    if not pred_words:
+        return None, None, []
+    if word_boxes is None:
+        word_boxes = [quad_to_xyxy(w.points) for w in pred_words]
+    inside = containment_matrix([element.box], word_boxes, threshold=0.5)[0]
+    text, direction = _assemble_text_block(
+        pred_words, word_boxes, np.nonzero(inside)[0], ignore_ruby,
+        ruby_threshold,
     )
+    return text, direction, inside.tolist()
 
-    if ignore_ruby:
-        contained_words = filter_ruby(
-            contained_words, element_direction, ruby_threshold
-        )
-        if len(contained_words) == 0:
-            return None, None, check_list
 
-    order = "left2right" if element_direction == "horizontal" else "right2left"
-    prediction_reading_order(contained_words, order)
-    contained_words = sorted(contained_words, key=lambda x: x.order)
-    text = "\n".join(w.contents for w in contained_words)
-    return text, element_direction, check_list
+def _quad_edges(points):
+    """(N,4,2) float quads -> (quads, widths, heights) where width/height
+    are the p0-p1 / p1-p2 edge norms."""
+    q = np.asarray(points, np.float64).reshape(-1, 4, 2)
+    w = np.linalg.norm(q[:, 0] - q[:, 1], axis=1)
+    h = np.linalg.norm(q[:, 1] - q[:, 2], axis=1)
+    return q, w, h
 
 
 def is_vertical(quad, thresh_aspect=2):
-    quad = np.array(quad)
-    width = np.linalg.norm(quad[0] - quad[1])
-    height = np.linalg.norm(quad[1] - quad[2])
-    return height > width * thresh_aspect
+    _, w, h = _quad_edges([quad])
+    return bool(h[0] > w[0] * thresh_aspect)
 
 
 def is_noise(quad, thresh=15):
-    quad = np.array(quad)
-    width = np.linalg.norm(quad[0] - quad[1])
-    height = np.linalg.norm(quad[1] - quad[2])
-    return width < thresh or height < thresh
+    _, w, h = _quad_edges([quad])
+    return bool(w[0] < thresh or h[0] < thresh)
 
 
 def recursive_update(original, new_data):
@@ -229,108 +245,90 @@ def recursive_update(original, new_data):
     return original
 
 
-def _extract_words_within_table(words, table, check_list):
-    horizontal_words = []
-    vertical_words = []
-    for i, (points, score) in enumerate(zip(words.points, words.scores)):
-        word_box = quad_to_xyxy(points)
-        if is_contained(table.box, word_box, threshold=0.5):
-            if is_vertical(points):
-                vertical_words.append({"points": points, "score": score})
-            else:
-                horizontal_words.append({"points": points, "score": score})
-            check_list[i] = True
-    return horizontal_words, vertical_words, check_list
+_NOISE_MIN_EDGE = 15  # min clipped-piece edge norm (reference is_noise)
 
 
-def _calc_overlap_words_on_lines(lines, words):
-    overlap_ratios = [[0 for _ in lines] for _ in words]
-    for i, word in enumerate(words):
-        word_box = quad_to_xyxy(word["points"])
-        for j, row in enumerate(lines):
-            overlap_ratio, _ = calc_overlap_ratio(row.box, word_box)
-            overlap_ratios[i][j] = overlap_ratio
-    return overlap_ratios
+def _clip_quads_to_cells(quads, scores, lines, cells, axis):
+    """Clip word quads to the cells of their best-overlapping table line.
 
+    ``axis`` 0: horizontal words, allocated to a row by overlap, clipped
+    in x against every cell whose row-span covers that row.  ``axis`` 1:
+    vertical words vs columns, clipped in y.  Pieces shorter than the
+    noise floor on either edge are dropped.  Fully vectorized over the
+    (word x cell) pair grid; emission order is word-major then cell order,
+    matching the reference's nested loops."""
+    if len(quads) == 0 or not lines or not cells:
+        return [], []
+    boxes = np.concatenate([quads.min(axis=1), quads.max(axis=1)], axis=1)
+    # fraction of each word box covered by each line (reference allocates
+    # by calc_overlap_ratio against the word box, first argmax wins)
+    ratio = overlap_ratio_matrix([ln.box for ln in lines], boxes)
+    alloc = ratio.argmax(axis=0)
 
-def _correct_vertical_word_boxes(overlap_ratios_vertical, table, table_words_vertical):
-    allocated_cols = [cols.index(max(cols)) for cols in overlap_ratios_vertical]
-    new_points, new_scores = [], []
-    for i, col_index in enumerate(allocated_cols):
-        col_cells = [
-            cell
-            for cell in table.cells
-            if cell.col <= (col_index + 1) < (cell.col + cell.col_span)
-        ]
-        word_point = table_words_vertical[i]["points"]
-        word_score = table_words_vertical[i]["score"]
-        for cell in col_cells:
-            word_box = quad_to_xyxy(word_point)
-            _, intersection = calc_overlap_ratio(cell.box, word_box)
-            if intersection is not None:
-                _, y1, _, y2 = intersection
-                new_point = [
-                    [word_point[0][0], max(word_point[0][1], y1)],
-                    [word_point[1][0], max(word_point[1][1], y1)],
-                    [word_point[2][0], min(word_point[2][1], y2)],
-                    [word_point[3][0], min(word_point[3][1], y2)],
-                ]
-                if not is_noise(new_point):
-                    new_points.append(new_point)
-                    new_scores.append(word_score)
-    return new_points, new_scores
+    start = np.asarray([c.row if axis == 0 else c.col for c in cells])
+    span = np.asarray(
+        [c.row_span if axis == 0 else c.col_span for c in cells]
+    )
+    line_no = alloc[:, None] + 1  # 1-based
+    covers = (start[None, :] <= line_no) & (line_no < start[None, :] + span[None, :])
 
+    # integer intersection intervals per (word, cell), calc_intersection
+    # truncation semantics; empty on either axis kills the pair
+    wb = np.trunc(boxes).astype(np.int64)
+    cb = np.trunc(np.asarray([c.box for c in cells], np.float64)).astype(np.int64)
+    lo = np.maximum(wb[:, None, :2], cb[None, :, :2])
+    hi = np.minimum(wb[:, None, 2:], cb[None, :, 2:])
+    pairs = covers & (hi > lo).all(axis=2)
 
-def _correct_horizontal_word_boxes(
-    overlap_ratios_horizontal, table, table_words_horizontal
-):
-    allocated_rows = [rows.index(max(rows)) for rows in overlap_ratios_horizontal]
-    new_points, new_scores = [], []
-    for i, row_index in enumerate(allocated_rows):
-        row_cells = [
-            cell
-            for cell in table.cells
-            if cell.row <= (row_index + 1) < (cell.row + cell.row_span)
-        ]
-        word_point = table_words_horizontal[i]["points"]
-        word_score = table_words_horizontal[i]["score"]
-        for cell in row_cells:
-            word_box = quad_to_xyxy(word_point)
-            _, intersection = calc_overlap_ratio(cell.box, word_box)
-            if intersection is not None:
-                x1, _, x2, _ = intersection
-                new_point = [
-                    [max(word_point[0][0], x1), word_point[0][1]],
-                    [min(word_point[1][0], x2), word_point[1][1]],
-                    [min(word_point[2][0], x2), word_point[2][1]],
-                    [max(word_point[3][0], x1), word_point[3][1]],
-                ]
-                if not is_noise(new_point):
-                    new_points.append(new_point)
-                    new_scores.append(word_score)
-    return new_points, new_scores
+    wi, ci = np.nonzero(pairs)
+    if wi.size == 0:
+        return [], []
+    pieces = quads[wi].copy()
+    # clip the two leading/trailing corners along the chosen axis
+    head, tail = ((0, 3), (1, 2)) if axis == 0 else ((0, 1), (2, 3))
+    pieces[:, head, axis] = np.maximum(
+        pieces[:, head, axis], lo[wi, ci, axis, None]
+    )
+    pieces[:, tail, axis] = np.minimum(
+        pieces[:, tail, axis], hi[wi, ci, axis, None]
+    )
+    pw = np.linalg.norm(pieces[:, 0] - pieces[:, 1], axis=1)
+    ph = np.linalg.norm(pieces[:, 1] - pieces[:, 2], axis=1)
+    keep = np.nonzero((pw >= _NOISE_MIN_EDGE) & (ph >= _NOISE_MIN_EDGE))[0]
+    return [pieces[i].tolist() for i in keep], [scores[wi[i]] for i in keep]
 
 
 def _split_text_across_cells(results_det, results_layout):
-    """Split detected quads at table row/col boundaries
-    (reference document_analyzer.py:383)."""
-    check_list = [False] * len(results_det.points)
+    """Split detected quads at table row/col boundaries so each piece
+    lands in a single cell; words outside every table pass through."""
+    n = len(results_det.points)
+    if n == 0:
+        return results_det
+    quads, edge_w, edge_h = _quad_edges(results_det.points)
+    vertical = edge_h > 2 * edge_w
+    boxes = np.concatenate([quads.min(axis=1), quads.max(axis=1)], axis=1)
+    scores = list(results_det.scores)
+
+    in_any_table = np.zeros(n, bool)
     new_points, new_scores = [], []
     for table in results_layout.tables:
-        words_h, words_v, check_list = _extract_words_within_table(
-            results_det, table, check_list
-        )
-        ratios_h = _calc_overlap_words_on_lines(table.rows, words_h)
-        ratios_v = _calc_overlap_words_on_lines(table.cols, words_v)
-        pts_h, sc_h = _correct_horizontal_word_boxes(ratios_h, table, words_h)
-        pts_v, sc_v = _correct_vertical_word_boxes(ratios_v, table, words_v)
-        new_points.extend(pts_h + pts_v)
-        new_scores.extend(sc_h + sc_v)
+        inside = overlap_ratio_matrix([table.box], boxes)[0] > 0.5
+        in_any_table |= inside
+        for mask, lines, axis in (
+            (inside & ~vertical, table.rows, 0),
+            (inside & vertical, table.cols, 1),
+        ):
+            idx = np.nonzero(mask)[0]
+            pts, scs = _clip_quads_to_cells(
+                quads[idx], [scores[i] for i in idx], lines, table.cells,
+                axis,
+            )
+            new_points.extend(pts)
+            new_scores.extend(scs)
 
-    for i, flag in enumerate(check_list):
-        if not flag:
-            new_points.append(results_det.points[i])
-            new_scores.append(results_det.scores[i])
+    for i in np.nonzero(~in_any_table)[0]:
+        new_points.append(results_det.points[i])
+        new_scores.append(scores[i])
 
     results_det.points = new_points
     results_det.scores = new_scores
@@ -374,6 +372,7 @@ class DocumentAnalyzer:
         )
         self.layout = LayoutAnalyzer(configs=default_configs["layout_analyzer"])
         self.visualize = visualize
+        self.num_devices = num_devices
         self.ignore_meta = ignore_meta
         self.split_text_across_cells = split_text_across_cells
         self.ignore_ruby = ignore_ruby
@@ -381,35 +380,41 @@ class DocumentAnalyzer:
         self.img = None
 
     def aggregate(self, ocr_res, layout_res):
-        paragraphs = []
-        check_list = [False] * len(ocr_res.words)
-        word_boxes = [quad_to_xyxy(w.points) for w in ocr_res.words]
-        for table in layout_res.tables:
-            for cell in table.cells:
-                words, _, flags = extract_words_within_element(
-                    ocr_res.words,
-                    cell,
-                    ignore_ruby=self.ignore_ruby,
-                    ruby_threshold=self.ruby_threshold,
-                    word_boxes=word_boxes,
-                )
-                cell.contents = words if words is not None else ""
-                check_list = combine_flags(check_list, flags)
+        """Assign words to table cells and layout paragraphs, then order
+        the page.  One containment matrix covers every (element, word)
+        pair; each element's members come from its row."""
+        words = ocr_res.words
+        word_boxes = [quad_to_xyxy(w.points) for w in words]
+        cells = [c for table in layout_res.tables for c in table.cells]
+        inside = containment_matrix(
+            [c.box for c in cells] + [p.box for p in layout_res.paragraphs],
+            word_boxes, threshold=0.5,
+        )
+        claimed = np.zeros(len(words), bool)
 
-        for paragraph in layout_res.paragraphs:
-            words, direction, flags = extract_words_within_element(
-                ocr_res.words,
-                paragraph,
-                ignore_ruby=self.ignore_ruby,
-                ruby_threshold=self.ruby_threshold,
-                word_boxes=word_boxes,
+        def _block(row):
+            return _assemble_text_block(
+                words, word_boxes, np.nonzero(row)[0],
+                self.ignore_ruby, self.ruby_threshold,
             )
-            if words is None:
+
+        # cells claim their contained words even when ruby filtering
+        # empties the block
+        for cell, row in zip(cells, inside):
+            text, _ = _block(row)
+            cell.contents = text if text is not None else ""
+            claimed |= row
+
+        # a paragraph whose block comes back empty claims nothing
+        paragraphs = []
+        for paragraph, row in zip(layout_res.paragraphs, inside[len(cells):]):
+            text, direction = _block(row)
+            if text is None:
                 continue
-            check_list = combine_flags(check_list, flags)
+            claimed |= row
             paragraphs.append(
                 ParagraphSchema(
-                    contents=words,
+                    contents=text,
                     box=paragraph.box,
                     direction=direction,
                     order=0,
@@ -417,17 +422,17 @@ class DocumentAnalyzer:
                 )
             )
 
-        for i, word in enumerate(ocr_res.words):
-            if not check_list[i]:
-                paragraphs.append(
-                    ParagraphSchema(
-                        contents=word.content,
-                        box=quad_to_xyxy(word.points),
-                        direction=word.direction,
-                        order=0,
-                        role=None,
-                    )
+        # every unclaimed word becomes its own paragraph
+        for i in np.nonzero(~claimed)[0]:
+            paragraphs.append(
+                ParagraphSchema(
+                    contents=words[i].content,
+                    box=word_boxes[i],
+                    direction=words[i].direction,
+                    order=0,
+                    role=None,
                 )
+            )
 
         figures, check_list = extract_paragraph_within_figure(
             paragraphs, layout_res.figures
@@ -474,12 +479,114 @@ class DocumentAnalyzer:
             "words": ocr_res.words,
         }
 
+    def _run_fused(self, img, page):
+        """Single-dispatch page path (accelerator default): det+layout run
+        as ONE device program with ONE readback (ops.fused_page), the TSR
+        region forwards are enqueued before the detector's host contour
+        pass so the device works through them while the host walks the
+        probability map, and only then does the TSR readback sync."""
+        from .ops.device_crop import (
+            collect_filtered_regions,
+            dispatch_regions_from_page,
+        )
+        from .schemas import LayoutAnalyzerSchema, LayoutParserSchema, TextDetectorSchema
+        from .utils.stagetrace import segment
+
+        det = self.text_detector
+        lp = self.layout.layout_parser
+        tsr = self.layout.table_structure_recognizer
+        if getattr(self, "_fused_det_layout", None) is None:
+            from .ops.fused_page import FusedDetLayout
+
+            self._fused_det_layout = FusedDetLayout(
+                det.model, lp.model, lp.postprocessor.num_top_queries
+            )
+
+        ori_h, ori_w = img.shape[:2]
+        from .data.functions import shortest_edge_size
+
+        det_hw = shortest_edge_size(
+            ori_h, ori_w,
+            det._cfg.data.shortest_size, det._cfg.data.limit_size,
+        )
+        prob, packed = self._fused_det_layout(
+            page, page.hw, det_hw, tuple(lp._cfg.data.img_size)
+        )
+        outputs = lp.postprocessor.filter_packed(
+            packed, [[ori_w, ori_h]], lp.thresh_score
+        )
+        results_layout = LayoutParserSchema(**lp.filtering_elements(outputs[0]))
+
+        # enqueue TSR before the contour pass: device chews the table
+        # crops while the host walks the probability map
+        tsr_data = tsr._preprocess_meta(
+            img, [t.box for t in results_layout.tables]
+        )
+        tsr_chunks = (
+            dispatch_regions_from_page(
+                tsr.model, page, tsr_data, tuple(tsr._cfg.data.img_size)
+            )
+            if tsr_data
+            else []
+        )
+
+        with segment("det", "contours"):
+            quads, scores = det.postprocess({"binary": prob}, (ori_h, ori_w))
+        results_det = TextDetectorSchema(points=quads, scores=scores)
+
+        tables = tsr.tables_from_filtered(
+            tsr_data,
+            collect_filtered_regions(
+                tsr_chunks, tsr.postprocessor, tsr.thresh_score
+            ),
+        )
+        layout_schema = LayoutAnalyzerSchema(
+            paragraphs=results_layout.paragraphs,
+            tables=tables,
+            figures=results_layout.figures,
+        )
+
+        if self.split_text_across_cells:
+            results_det = _split_text_across_cells(results_det, layout_schema)
+
+        vis_det = None
+        layout_vis = None
+        if self.visualize:
+            from .utils.visualizer import (
+                det_visualizer,
+                layout_visualizer,
+                table_visualizer,
+            )
+
+            vis_det = det_visualizer(img, results_det.points)
+            layout_vis = layout_visualizer(results_layout, img)
+            for table in tables:
+                layout_vis = table_visualizer(layout_vis, table)
+
+        results_rec, ocr = self.text_recognizer(
+            img, results_det.points, vis_det, page=page
+        )
+        with segment("aggregate", "host"):
+            results_ocr = OCRSchema(
+                words=ocr_aggregate(results_det, results_rec)
+            )
+            outputs = self.aggregate(results_ocr, layout_schema)
+        return DocumentAnalyzerSchema(**outputs), ocr, layout_vis
+
+    @staticmethod
+    def _fused_page_enabled():
+        import os
+
+        return not os.environ.get("YOMITOKU_TPU_NO_FUSED_PAGE")
+
     async def run(self, img):
         from .ops.device_crop import DevicePage, device_crops_enabled
 
         # one uint8 page upload shared by detector, layout, TSR, and
         # recognizer programs (each otherwise uploads its own resize/crops)
         page = DevicePage(img) if device_crops_enabled() else None
+        if page is not None and self._fused_page_enabled():
+            return self._run_fused(img, page)
         with ThreadPoolExecutor(max_workers=2) as executor:
             loop = asyncio.get_running_loop()
             tasks = [
@@ -502,8 +609,13 @@ class DocumentAnalyzer:
             results_rec, ocr = self.text_recognizer(
                 img, results_det.points, vis_det, page=page
             )
-            results_ocr = OCRSchema(words=ocr_aggregate(results_det, results_rec))
-            outputs = self.aggregate(results_ocr, results_layout)
+            from .utils.stagetrace import segment
+
+            with segment("aggregate", "host"):
+                results_ocr = OCRSchema(
+                    words=ocr_aggregate(results_det, results_rec)
+                )
+                outputs = self.aggregate(results_ocr, results_layout)
 
         return DocumentAnalyzerSchema(**outputs), ocr, layout
 
@@ -528,11 +640,22 @@ class DocumentAnalyzer:
 
         Returns the list of (DocumentAnalyzerSchema, ocr_vis, layout_vis)
         in input order.  No multi-device requirement — this hides
-        host<->device latency even on a single chip; combine with
-        ``num_devices`` to also shard the batches.
+        host<->device latency even on a single chip.  With
+        ``num_devices`` > 1 the page axis itself goes data-parallel
+        (``_batch_dp``): same-bucket pages stack into one det forward,
+        every page's layout tile / table crop / line crop into one
+        sharded batch per stage, so all chips work on every stage
+        (SURVEY §2.3 "DP over pages").
         """
         if not imgs:
             return []
+        if (
+            self.num_devices
+            and self.num_devices > 1
+            and len(imgs) > 1
+            and not self.visualize
+        ):
+            return self._batch_dp(imgs)
 
         def _one(img):
             results, ocr, layout = asyncio.run(self.run(img))
@@ -544,3 +667,116 @@ class DocumentAnalyzer:
 
         with ThreadPoolExecutor(max_workers=max_in_flight) as executor:
             return list(executor.map(_one, imgs))
+
+    def _batch_dp(self, imgs):
+        """Stage-batched, page-parallel analysis over the dp mesh.
+
+        Each stage runs ONE forward over the concatenation of every
+        page's inputs (pages / layout tiles / table crops / line crops);
+        ``JaxModel.place_batch`` shards the leading axis across the
+        mesh's dp chips whenever it divides evenly.  Host postprocessing
+        stays per-page.  Visualization is not supported on this path
+        (``batch`` falls back to the threaded pipeline)."""
+        from collections import defaultdict
+
+        from .data.dataset import ParseqDataset
+        from .schemas import (
+            LayoutAnalyzerSchema,
+            LayoutParserSchema,
+            TextDetectorSchema,
+            TextRecognizerSchema,
+        )
+
+        det, rec = self.text_detector, self.text_recognizer
+        lp = self.layout.layout_parser
+        tsr = self.layout.table_structure_recognizer
+        n = len(imgs)
+
+        # --- detector: same-bucket pages stack into one sharded forward
+        buckets = defaultdict(list)
+        for i, img in enumerate(imgs):
+            tensor = det.preprocess_u8(img)  # (1, oh, ow, 3) uint8
+            buckets[tensor.shape[1:3]].append((i, tensor[0]))
+        det_results = [None] * n
+        for members in buckets.values():
+            maps = det.model.forward_binary_u8(
+                np.stack([t for _, t in members])
+            )
+            for (i, _), prob in zip(members, maps):
+                quads, scores = det.postprocess(
+                    {"binary": prob[None]}, imgs[i].shape[:2]
+                )
+                det_results[i] = TextDetectorSchema(points=quads, scores=scores)
+
+        # --- layout: every page's tile in one sharded forward
+        tiles = np.concatenate([lp.preprocess(img) for img in imgs])
+        preds = lp.model.forward(tiles)
+        sizes = [[img.shape[1], img.shape[0]] for img in imgs]
+        per_page = lp.postprocessor(preds, sizes, lp.thresh_score)
+        layout_results = [
+            LayoutParserSchema(**lp.filtering_elements(one))
+            for one in per_page
+        ]
+
+        # --- TSR: every table crop of every page in one sharded forward
+        tsr_data, owners = [], []
+        for i, lres in enumerate(layout_results):
+            data = tsr.preprocess(imgs[i], [t.box for t in lres.tables])
+            tsr_data.extend(data)
+            owners.extend([i] * len(data))
+        page_tables = [[] for _ in range(n)]
+        if tsr_data:
+            preds = tsr.model.forward(
+                np.stack([d["array"] for d in tsr_data])
+            )
+            sizes = [[d["size"][1], d["size"][0]] for d in tsr_data]
+            filtered = tsr.postprocessor(preds, sizes, tsr.thresh_score)
+            for owner, d, one in zip(owners, tsr_data, filtered):
+                table = tsr.postprocess(one, d)
+                if table.n_row > 0 and table.n_col > 0:
+                    page_tables[owner].append(table)
+        layouts = [
+            LayoutAnalyzerSchema(
+                paragraphs=lres.paragraphs,
+                tables=page_tables[i],
+                figures=lres.figures,
+            )
+            for i, lres in enumerate(layout_results)
+        ]
+
+        if self.split_text_across_cells:
+            for i in range(n):
+                det_results[i] = _split_text_across_cells(
+                    det_results[i], layouts[i]
+                )
+
+        # --- recognizer: every page's line crops in one bucketed stream
+        datasets = [
+            ParseqDataset(rec._cfg, imgs[i], det_results[i].points)
+            for i in range(n)
+        ]
+        crops = [ds.as_u8_array() for ds in datasets]
+        all_points = [q for ds in datasets for q in ds.valid_quads]
+        nonempty = [c for c in crops if len(c)]
+        preds = scores = directions = []
+        if nonempty:
+            preds, scores, directions = rec._run_batch_inference(
+                np.concatenate(nonempty), all_points
+            )
+
+        results, offset = [], 0
+        for i, ds in enumerate(datasets):
+            c = len(crops[i])
+            p = list(preds[offset : offset + c])
+            s = list(scores[offset : offset + c])
+            d = list(directions[offset : offset + c])
+            offset += c
+            if rec.rec_orientation_fallback and c:
+                rec._apply_orientation_fallback(ds, ds.valid_quads, p, s, d)
+            rec_res = TextRecognizerSchema(
+                contents=p, scores=s, points=ds.valid_quads, directions=d
+            )
+            ocr = OCRSchema(words=ocr_aggregate(det_results[i], rec_res))
+            outputs = self.aggregate(ocr, layouts[i])
+            results.append((DocumentAnalyzerSchema(**outputs), None, None))
+        return results

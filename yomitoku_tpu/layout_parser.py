@@ -102,10 +102,12 @@ class LayoutParser(BaseModule):
                 self.model.use_mesh(mesh)
         self.device = device
         self.visualize = visualize
+        self.model.trace_stage = "layout"
         self.postprocessor = RTDETRPostProcessor(
             num_classes=self._cfg.RTDETRTransformerv2.num_classes,
             num_top_queries=self._cfg.RTDETRTransformerv2.num_queries,
         )
+        self.postprocessor.trace_stage = "layout"
         self.thresh_score = self._cfg.thresh_score
         self.label_mapper = dict(enumerate(self._cfg.category))
         self.role = self._cfg.role

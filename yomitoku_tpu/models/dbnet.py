@@ -315,18 +315,26 @@ class DBNet(JaxModel):
                     full[:, yo::4, xo::4] = out[..., yo * 4 + xo]
             return full
 
+    #: stage label for utils.stagetrace accounting
+    trace_stage = "det"
+
     def forward_binary_from_page(self, page, src_hw, out_hw):
         """uint8 device page (padded) -> (1, oh, ow) float32 prob map;
         src_hw is the original (unpadded) page size."""
         from ..ops.device_crop import region_mats
+        from ..utils.stagetrace import segment
 
         h, w = src_hw
         mat, _ = region_mats([(0, 0, w, h)], out_hw)
-        out = self._fwd_page(
-            self.dparams, page, jnp.asarray(mat), tuple(out_hw)
-        )
-        out = self._unpack_u8(np.asarray(out))
-        return out.astype(np.float32) * (1.0 / 255.0)
+        with segment(self.trace_stage, "dispatch"):
+            out = self._fwd_page(
+                self.dparams, page, jnp.asarray(mat), tuple(out_hw)
+            )
+        with segment(self.trace_stage, "sync", nbytes=out.nbytes):
+            out = np.asarray(out)
+        with segment(self.trace_stage, "unpack"):
+            out = self._unpack_u8(out)
+            return out.astype(np.float32) * (1.0 / 255.0)
 
     def forward_binary(self, images: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) standardized float32 -> (B, H, W) prob map."""
@@ -334,9 +342,16 @@ class DBNet(JaxModel):
 
     def forward_binary_u8(self, images_u8: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) uint8 (resized, BGR) -> (B, H, W) float32 prob map."""
-        out = self._fwd_u8(self.dparams, self.place_batch(images_u8))
-        out = self._unpack_u8(np.asarray(out))
-        return out.astype(np.float32) * (1.0 / 255.0)
+        from ..utils.stagetrace import segment
+
+        with segment(self.trace_stage, "dispatch",
+                     nbytes=images_u8.nbytes):
+            out = self._fwd_u8(self.dparams, self.place_batch(images_u8))
+        with segment(self.trace_stage, "sync", nbytes=out.nbytes):
+            out = np.asarray(out)
+        with segment(self.trace_stage, "unpack"):
+            out = self._unpack_u8(out)
+            return out.astype(np.float32) * (1.0 / 255.0)
 
     def init_params(self, seed: int = 0):
         from .base import on_host_cpu

@@ -84,10 +84,16 @@ class RTDETRv2(JaxModel):
             images = images.astype(self.dtype) * (1.0 / 255.0)
         return self.core.apply(params, images.astype(self.dtype))
 
+    #: stage label for utils.stagetrace accounting (task modules override)
+    trace_stage = "rtdetr"
+
     def forward(self, images: np.ndarray):
         """(B, H, W, 3) standardized float32 ->
         {"pred_logits": (B, Q, C), "pred_boxes": (B, Q, 4)} on device."""
-        return self._fwd(self.dparams, self.place_batch(images))
+        from ..utils.stagetrace import segment
+
+        with segment(self.trace_stage, "dispatch", nbytes=images.nbytes):
+            return self._fwd(self.dparams, self.place_batch(images))
 
     @staticmethod
     def _forward_from_page(self, params, page, mats, out_hw):
@@ -105,13 +111,16 @@ class RTDETRv2(JaxModel):
     def forward_from_page(self, page, mats, out_hw):
         """uint8 device page + (B, 3, 3) region maps -> detector outputs
         (device arrays, same contract as forward())."""
+        from ..utils.stagetrace import segment
+
         if not hasattr(self, "_fwd_page"):
             self._fwd_page = jax.jit(
                 partial(self._forward_from_page, self), static_argnums=(3,)
             )
-        return self._fwd_page(
-            self.dparams, page, jnp.asarray(mats), tuple(out_hw)
-        )
+        with segment(self.trace_stage, "dispatch"):
+            return self._fwd_page(
+                self.dparams, page, jnp.asarray(mats), tuple(out_hw)
+            )
 
     def init_params(self, seed: int = 0):
         from .base import on_host_cpu

@@ -177,13 +177,16 @@ class DevicePage:
     padding bytes never cross the link."""
 
     def __init__(self, img_bgr: np.ndarray, align: int = 512):
+        from ..utils.stagetrace import segment
+
         h, w = img_bgr.shape[:2]
         self.hw = (h, w)
         ph = -(-h // align) * align
         pw = -(-w // align) * align
-        dev = jnp.asarray(np.ascontiguousarray(img_bgr))
-        if (ph, pw) != (h, w):
-            dev = _pad_on_device(dev, ph, pw)
+        with segment("page", "upload", nbytes=img_bgr.nbytes):
+            dev = jnp.asarray(np.ascontiguousarray(img_bgr))
+            if (ph, pw) != (h, w):
+                dev = _pad_on_device(dev, ph, pw)
         self.dev = dev
 
 
@@ -217,6 +220,39 @@ def forward_regions_from_page(model, page, data, out_hw):
     sizes = [[d["size"][1], d["size"][0]] for d in data]
     sizes += [[1, 1]] * (target - n)
     return preds, sizes, n
+
+
+def dispatch_regions_from_page(model, page, data, out_hw):
+    """Enqueue the fused crop+forward programs for every region chunk
+    (chunked at the largest REGION_BUCKET so pages with more tables than
+    the bucket ladder reuse the 64-wide program instead of compiling a
+    fresh unpadded batch per distinct count).  Returns the list of
+    (device preds, sizes, n) chunks WITHOUT syncing — callers overlap
+    host work with the device compute, then ``collect_filtered_regions``.
+    """
+    cap = REGION_BUCKETS[-1]
+    return [
+        forward_regions_from_page(model, page, data[s : s + cap], out_hw)
+        for s in range(0, len(data), cap)
+    ]
+
+
+def collect_filtered_regions(chunks, postprocessor, thresh):
+    """Postprocess each PADDED chunk (slicing device outputs first would
+    recompile the jitted top-k per table count) and return the filtered
+    per-region list."""
+    filtered = []
+    for preds, sizes, n in chunks:
+        filtered.extend(postprocessor(preds, sizes, thresh)[:n])
+    return filtered
+
+
+def filtered_regions_from_page(model, page, data, out_hw, postprocessor,
+                               thresh):
+    """Fused crop+forward+postprocess for the TSR / cell-detector page
+    paths; see dispatch_regions_from_page / collect_filtered_regions."""
+    chunks = dispatch_regions_from_page(model, page, data, out_hw)
+    return collect_filtered_regions(chunks, postprocessor, thresh)
 
 
 def sample_lines(page, mats, valid_wh, out_hw=(32, 800), flip_bgr=True,

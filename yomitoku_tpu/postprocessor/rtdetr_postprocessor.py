@@ -45,6 +45,9 @@ def _topk_device(logits, boxes, orig_sizes, num_top_queries):
 
 
 class RTDETRPostProcessor:
+    #: stage label for utils.stagetrace accounting (task modules override)
+    trace_stage = "rtdetr"
+
     def __init__(self, num_classes, num_top_queries=300, use_focal_loss=True):
         self.num_classes = int(num_classes)
         self.num_top_queries = int(num_top_queries)
@@ -56,16 +59,35 @@ class RTDETRPostProcessor:
 
         Returns list of dicts {labels, boxes, scores} (numpy, filtered).
         """
+        from ..utils.stagetrace import segment
+
         orig_sizes = np.asarray(orig_sizes, np.float32).reshape(-1, 2)
-        packed = np.asarray(
-            _topk_device(
+        with segment(self.trace_stage, "dispatch"):
+            dev = _topk_device(
                 outputs["pred_logits"],
                 outputs["pred_boxes"],
                 jnp.asarray(orig_sizes),
                 self.num_top_queries,
             )
+        with segment(self.trace_stage, "sync", nbytes=dev.nbytes):
+            packed = np.asarray(dev)
+        return self.filter_packed(packed, orig_sizes, threshold)
+
+    def topk_on_device(self, outputs, orig_sizes):
+        """Device half only: (B, k, 6) packed [label, score, xyxy] device
+        array — for callers that fuse the top-k into a larger program or
+        batch the readback themselves."""
+        orig_sizes = np.asarray(orig_sizes, np.float32).reshape(-1, 2)
+        return _topk_device(
+            outputs["pred_logits"],
+            outputs["pred_boxes"],
+            jnp.asarray(orig_sizes),
+            self.num_top_queries,
         )
 
+    def filter_packed(self, packed, orig_sizes, threshold):
+        """Host half: threshold + clamp an already-fetched packed array."""
+        orig_sizes = np.asarray(orig_sizes, np.float32).reshape(-1, 2)
         results = []
         for row, (w, h) in zip(packed, orig_sizes):
             keep = row[:, 1] > threshold

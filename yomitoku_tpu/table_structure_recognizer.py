@@ -106,10 +106,12 @@ class TableStructureRecognizer(BaseModule):
                 self.model.use_mesh(mesh)
         self.device = device
         self.visualize = visualize
+        self.model.trace_stage = "tsr"
         self.postprocessor = RTDETRPostProcessor(
             num_classes=self._cfg.RTDETRTransformerv2.num_classes,
             num_top_queries=self._cfg.RTDETRTransformerv2.num_queries,
         )
+        self.postprocessor.trace_stage = "tsr"
         self.thresh_score = self._cfg.thresh_score
         self.label_mapper = dict(enumerate(self._cfg.category))
 
@@ -197,6 +199,16 @@ class TableStructureRecognizer(BaseModule):
             out.append({"size": (y2 - y1, x2 - x1), "offset": (x1, y1)})
         return out
 
+    def tables_from_filtered(self, data, filtered):
+        """Per-region filtered detections -> TableStructureRecognizerSchema
+        list (tables with no rows or no cols dropped)."""
+        outputs = []
+        for d, one in zip(data, filtered):
+            table = self.postprocess(one, d)
+            if table.n_row > 0 and table.n_col > 0:
+                outputs.append(table)
+        return outputs
+
     def __call__(self, img, table_boxes, vis=None, page=None):
         data = (
             self._preprocess_meta(img, table_boxes)
@@ -208,26 +220,19 @@ class TableStructureRecognizer(BaseModule):
             # one batched forward over all tables on the page, one fused
             # device->host readback for every table's filtered detections
             if page is not None:
-                from .ops.device_crop import forward_regions_from_page
+                from .ops.device_crop import filtered_regions_from_page
 
-                preds, sizes, n = forward_regions_from_page(
-                    self.model, page, data, tuple(self._cfg.data.img_size)
+                filtered = filtered_regions_from_page(
+                    self.model, page, data,
+                    tuple(self._cfg.data.img_size),
+                    self.postprocessor, self.thresh_score,
                 )
-                # postprocess the PADDED batch (a pre-slice would
-                # recompile the jitted top-k per table count), then
-                # drop the dummy entries
-                filtered = self.postprocessor(
-                    preds, sizes, self.thresh_score
-                )[:n]
             else:
                 batch = np.stack([d["array"] for d in data])
                 preds = self.model.forward(batch)
                 sizes = [[d["size"][1], d["size"][0]] for d in data]
                 filtered = self.postprocessor(preds, sizes, self.thresh_score)
-            for d, one in zip(data, filtered):
-                table = self.postprocess(one, d)
-                if table.n_row > 0 and table.n_col > 0:
-                    outputs.append(table)
+            outputs = self.tables_from_filtered(data, filtered)
 
         if vis is None and self.visualize:
             vis = img.copy()

@@ -115,7 +115,10 @@ class TextDetector(BaseModule):
             tensor = self.preprocess_u8(img)
             binary = self.model.forward_binary_u8(tensor)  # (1, H, W)
         preds = {"binary": binary}
-        quads, scores = self.postprocess(preds, (ori_h, ori_w))
+        from .utils.stagetrace import segment
+
+        with segment("det", "contours"):
+            quads, scores = self.postprocess(preds, (ori_h, ori_w))
         results = TextDetectorSchema(points=quads, scores=scores)
 
         vis = None

@@ -8,8 +8,8 @@ fallback.  TPU adaptations:
   * batches are padded up to a small set of static bucket sizes so XLA
     compiles a handful of programs instead of one per line count;
   * the whole greedy decode runs on device inside one jitted program
-    (models/parseq.py), only the final softmax distributions return to the
-    host for tokenizer decode.
+    (models/parseq.py); only a packed (2, B, L) top-1 tensor (argmax ids
+    and their probabilities) returns to the host for tokenizer decode.
 """
 
 import os
@@ -159,13 +159,16 @@ class TextRecognizer(BaseModule):
         return ids[:n], probs[:n]
 
     def _run_batch_inference_page(self, page, mats, valid_wh, points):
+        from .utils.stagetrace import segment
+
         preds, scores, directions = [], [], []
         bs = self._cfg.data.batch_size
         for i in range(0, len(mats), bs):
             ids_probs = self._infer_padded_page(
                 page, mats[i : i + bs], valid_wh[i : i + bs]
             )
-            p, s, d = self.postprocess(ids_probs, points[i : i + bs])
+            with segment("rec", "tokenize"):
+                p, s, d = self.postprocess(ids_probs, points[i : i + bs])
             preds.extend(p)
             scores.extend(s)
             directions.extend(d)
@@ -223,16 +226,19 @@ class TextRecognizer(BaseModule):
                 and int(np.linalg.norm(qa[1] - qa[2])) > 0
             )
 
-        valid_points = [
-            q
-            for q in points
-            if validate_quads(img, q) is not None and _nonzero_area(q)
-        ]
-        if not valid_points:
-            return [], [], [], []
-        mats, valid_wh = line_homographies(
-            valid_points, tuple(self._cfg.data.img_size)
-        )
+        from .utils.stagetrace import segment
+
+        with segment("rec", "host_prep"):
+            valid_points = [
+                q
+                for q in points
+                if validate_quads(img, q) is not None and _nonzero_area(q)
+            ]
+            if not valid_points:
+                return [], [], [], []
+            mats, valid_wh = line_homographies(
+                valid_points, tuple(self._cfg.data.img_size)
+            )
         page = page.dev if page is not None else jnp.asarray(pad_page(img))
         preds, scores, directions = self._run_batch_inference_page(
             page, mats, valid_wh, valid_points
