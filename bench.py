@@ -17,7 +17,10 @@ synthetic page layout (~96 text lines in two columns over six
 paragraphs + 2 four-by-four tables + a figure; the recognizer pads to
 its 128 bucket).  The pinning only swaps prediction contents after the
 real device programs run — every compute and transfer cost stays.  With
-converted checkpoints the same harness runs unpinned.
+converted checkpoints the same harness runs unpinned.  Caveat: the
+painted probability map is 96 clean rectangles; real DBNet maps have
+ragged blobs with more contours and unclip work, so the host
+postprocess share reported here is a LOWER bound on production pages.
 
 ``vs_baseline`` compares against the torch-CPU composite of the
 reference architectures measured on this machine's single core
@@ -87,66 +90,63 @@ def _build_workload():
     return img, quads, paragraphs, tables, figure_box
 
 
-class _PinnedDetector:
-    """Runs the real DBNet device path (preprocess, forward, readback)
-    and the real contour/unclip postprocessor, on a probability map whose
-    contents are painted with the known line layout."""
+def _pin_analyzer(analyzer, quads, paragraphs, tables, figure_box,
+                  paint_shape=None):
+    """Pin prediction CONTENTS at the postprocess seams, leaving every
+    device program, transfer, and host pass of the REAL pipeline
+    (threaded or fused) in place:
 
-    def __init__(self, det, quads):
-        self.det = det
-        self.quads = quads
-        self._painted = None
+      * detector: the real probability map is computed and fetched, then
+        its contents are swapped for the painted line layout before the
+        real contour/unclip pass runs;
+      * layout: the real forward + top-k + readback run, then the
+        filtered elements are swapped for the synthetic page layout;
+      * TSR: the real per-table crop forwards + readbacks run on the
+        pinned table boxes, then the synthetic 4x4 tables are returned.
+    """
+    painted_cache = {}
 
-    def _paint(self, shape):
-        if self._painted is not None and self._painted.shape == shape:
-            return self._painted
-        _, hm, wm = shape
-        sy, sx = hm / PAGE_H, wm / PAGE_W
-        prob = np.zeros(shape, np.float32)
-        for quad in self.quads:
-            x0, y0 = quad[0]
-            x1, y1 = quad[2]
-            prob[0, int(y0 * sy) + 2 : int(y1 * sy) - 2,
-                 int(x0 * sx) + 2 : int(x1 * sx) - 2] = 0.9
-        self._painted = prob
-        return prob
+    def _paint(shape):
+        if shape not in painted_cache:
+            _, hm, wm = shape
+            sy, sx = hm / PAGE_H, wm / PAGE_W
+            prob = np.zeros(shape, np.float32)
+            for quad in quads:
+                x0, y0 = quad[0]
+                x1, y1 = quad[2]
+                prob[0, int(y0 * sy) + 2 : int(y1 * sy) - 2,
+                     int(x0 * sx) + 2 : int(x1 * sx) - 2] = 0.9
+            painted_cache[shape] = prob
+        return painted_cache[shape]
 
-    def __call__(self, img, page=None):
-        from yomitoku_tpu.schemas import TextDetectorSchema
+    det = analyzer.text_detector
+    real_det_post = det.postprocess
 
-        if page is not None:
-            from yomitoku_tpu.data.functions import shortest_edge_size
+    def det_postprocess(preds, image_size):
+        real = np.asarray(preds["binary"])  # the fetched real map
+        # paint_shape: small-model tests paint on a fixed canvas (their
+        # tiny real maps would swallow the 20 px lines)
+        shape = paint_shape or real.shape
+        return real_det_post({"binary": _paint(shape)}, image_size)
 
-            out_hw = shortest_edge_size(
-                *img.shape[:2],
-                self.det._cfg.data.shortest_size,
-                self.det._cfg.data.limit_size,
-            )
-            binary = self.det.model.forward_binary_from_page(
-                page.dev, page.hw, out_hw
-            )
-        else:
-            tensor = self.det.preprocess_u8(img)
-            binary = self.det.model.forward_binary_u8(tensor)
-        real = np.asarray(binary)  # device->host readback on the real map
-        painted = self._paint(real.shape)
-        quads, scores = self.det.postprocess(
-            {"binary": painted}, img.shape[:2]
-        )
-        return TextDetectorSchema(points=quads, scores=scores), None
+    det.postprocess = det_postprocess
 
+    lp = analyzer.layout.layout_parser
 
-class _PinnedLayout:
-    """Runs the real RT-DETR layout pass and real TSR passes on the
-    pinned table boxes, then swaps in the synthetic layout contents."""
+    def filtering_elements(preds):
+        el = lambda box, score, role: {
+            "id": None, "box": list(map(int, box)), "score": score,
+            "role": role, "contents": None,
+        }
+        return {
+            "paragraphs": [el(b, 0.95, None) for b in paragraphs],
+            "tables": [el(spec["box"], 0.95, None) for spec in tables],
+            "figures": [el(figure_box, 0.9, None)],
+        }
 
-    def __init__(self, layout, paragraphs, tables, figure_box):
-        self.layout = layout
-        self.paragraphs = paragraphs
-        self.tables = tables
-        self.figure_box = figure_box
+    lp.filtering_elements = filtering_elements
 
-    def _synthetic_tables(self):
+    def synthetic_tables():
         from yomitoku_tpu.schemas import (
             TableCellSchema,
             TableLineSchema,
@@ -154,7 +154,7 @@ class _PinnedLayout:
         )
 
         out = []
-        for spec in self.tables:
+        for spec in tables:
             cells = [
                 TableCellSchema(
                     row=i // 4 + 1, col=i % 4 + 1, row_span=1, col_span=1,
@@ -163,11 +163,17 @@ class _PinnedLayout:
                 for i, box in enumerate(spec["cells"])
             ]
             rows = [
-                TableLineSchema(box=[spec["box"][0], c.box[1], spec["box"][2], c.box[3]], score=0.9)
+                TableLineSchema(
+                    box=[spec["box"][0], c.box[1], spec["box"][2], c.box[3]],
+                    score=0.9,
+                )
                 for c in cells[::4]
             ]
             cols = [
-                TableLineSchema(box=[c.box[0], spec["box"][1], c.box[2], spec["box"][3]], score=0.9)
+                TableLineSchema(
+                    box=[c.box[0], spec["box"][1], c.box[2], spec["box"][3]],
+                    score=0.9,
+                )
                 for c in cells[:4]
             ]
             out.append(
@@ -178,32 +184,10 @@ class _PinnedLayout:
             )
         return out
 
-    def __call__(self, img, page=None):
-        from yomitoku_tpu.schemas import Element, LayoutAnalyzerSchema
-
-        # real device + postprocess cost of the layout parser
-        self.layout.layout_parser(img, page=page)
-        # real TSR passes on the two pinned table crops
-        self.layout.table_structure_recognizer(
-            img, [spec["box"] for spec in self.tables], page=page
-        )
-        return (
-            LayoutAnalyzerSchema(
-                paragraphs=[
-                    Element(id=None, box=list(map(int, b)), score=0.95,
-                            role=None, contents=None)
-                    for b in self.paragraphs
-                ],
-                tables=self._synthetic_tables(),
-                figures=[
-                    Element(
-                        id=None, box=list(map(int, self.figure_box)),
-                        score=0.9, role=None, contents=None,
-                    )
-                ],
-            ),
-            None,
-        )
+    tsr = analyzer.layout.table_structure_recognizer
+    # both the threaded and fused paths funnel through
+    # tables_from_filtered, AFTER the real forwards + readbacks
+    tsr.tables_from_filtered = lambda data, filtered: synthetic_tables()
 
 
 def run_e2e(device="tpu", warmup=2, iters=8):
@@ -214,8 +198,7 @@ def run_e2e(device="tpu", warmup=2, iters=8):
 
     img, quads, paragraphs, tables, figure_box = _build_workload()
     analyzer = DocumentAnalyzer(visualize=False, device=device)
-    analyzer.text_detector = _PinnedDetector(analyzer.text_detector, quads)
-    analyzer.layout = _PinnedLayout(analyzer.layout, paragraphs, tables, figure_box)
+    _pin_analyzer(analyzer, quads, paragraphs, tables, figure_box)
 
     for _ in range(warmup):
         result, _, _ = analyzer(img)
@@ -231,17 +214,103 @@ def run_e2e(device="tpu", warmup=2, iters=8):
     # median of three batches: the dev tunnel's bandwidth swings
     # minute-to-minute by 2-4x, and a single batch run inherits whatever
     # window it lands in
-    rounds = []
+    from yomitoku_tpu.utils.stagetrace import collect
+
+    rounds, stage_tables = [], []
     for _ in range(3):
-        t0 = time.perf_counter()
-        analyzer.batch([img] * iters)
-        rounds.append((time.perf_counter() - t0) / iters)
-    pipelined_s = sorted(rounds)[1]
+        with collect() as stats:
+            t0 = time.perf_counter()
+            analyzer.batch([img] * iters)
+            rounds.append((time.perf_counter() - t0) / iters)
+        stage_tables.append(stats.table(pages=iters))
+    median_idx = rounds.index(sorted(rounds)[1])
+    pipelined_s = rounds[median_idx]
+
+    # production-realistic recognizer: early-exit weights (EOS at step
+    # 25, a typical Japanese line length) through the SAME pipeline
+    rec_model = analyzer.text_recognizer.model
+    rec_model.params = early_exit_params(rec_model, 25)
+    analyzer.batch([img] * 2)  # warm the param swap
+    t0 = time.perf_counter()
+    analyzer.batch([img] * iters)
+    early_pipelined_s = (time.perf_counter() - t0) / iters
 
     return pipelined_s, latency_s, {
         "lines": len(quads), "words": n_words,
         "paragraphs": n_paragraphs, "tables": len(tables),
-    }
+    }, stage_tables[median_idx], early_pipelined_s
+
+
+def early_exit_params(rec_model, k, char_id=5):
+    """Deterministic PARSeq weights whose greedy decode emits ``char_id``
+    for the first k-1 positions and EOS from position k-1 on — every AR
+    loop exits after ~k steps, the way real pretrained weights exit at
+    real Japanese line lengths (reference models/parseq.py:160-186).
+
+    Construction: zero every residual contribution in the decoder
+    (attention out-projections, MLP second layers), so the query stream
+    carries the position-query embedding through the final LayerNorm
+    unchanged; program the position rows with two orthogonal zero-mean
+    ±1 patterns (text rows period 2, EOS rows period 4) and point the
+    head's char/EOS columns at those patterns.  bf16-exact.
+    """
+    import jax
+
+    params = jax.tree.map(np.array, rec_model.params)  # mutable copy
+    p = params["params"]
+    dec = p["decoder"]
+    for name, layer in dec.items():
+        if not name.startswith("layers_"):
+            continue
+        for sub, leaf in (("self_attn", "out_proj"), ("cross_attn", "out_proj"),
+                          ("mlp", "fc2")):
+            layer[sub][leaf]["kernel"][:] = 0.0
+            layer[sub][leaf]["bias"][:] = 0.0
+        for ln in ("norm_q",):
+            layer[ln]["scale"][:] = 1.0
+            layer[ln]["bias"][:] = 0.0
+    dec["norm"]["scale"][:] = 1.0
+    dec["norm"]["bias"][:] = 0.0
+
+    pq = p["pos_queries"]  # (1, max_len+1, D)
+    D = pq.shape[-1]
+    v_text = np.tile([1.0, -1.0], D // 2)[:D]
+    v_eos = np.tile([1.0, 1.0, -1.0, -1.0], D // 4 + 1)[:D]
+    pq[0, :, :] = v_text
+    pq[0, k - 1 :, :] = v_eos
+
+    head = p["head"]
+    head["kernel"][:] = 0.0
+    head["bias"][:] = 0.0
+    head["kernel"][:, 0] = v_eos * (10.0 / D)       # EOS id 0
+    head["kernel"][:, char_id] = v_text * (10.0 / D)
+    return params
+
+
+def run_early_exit(k=25):
+    """Recognizer throughput under realistic early exit (b128) and the
+    verified exit step."""
+    from yomitoku_tpu.config import structured
+    from yomitoku_tpu.configs import TextRecognizerPARSeqLargeV41Config
+    from yomitoku_tpu.models.parseq import PARSeq
+    from yomitoku_tpu.utils.timing import device_time
+
+    import jax.numpy as jnp
+
+    rec = PARSeq(structured(TextRecognizerPARSeqLargeV41Config))
+    rec.params = early_exit_params(rec, k)
+    rng = np.random.RandomState(0)
+    h, w = rec.core.img_size
+    crops = jnp.asarray(rng.randint(0, 255, (128, h, w, 3), np.uint8))
+    ids, _ = rec.forward_tokens(np.asarray(crops))
+    # verify the crafted exit semantics before trusting the timing
+    assert (ids[:, : k - 1] != 0).all() and (ids[:, k - 1] == 0).all(), (
+        "early-exit weights mis-crafted: EOS not at step k"
+    )
+    s = device_time(
+        lambda: rec._tokens_fn(rec.dparams, crops, True, 1), iters=10
+    )
+    return s, rec
 
 
 def run_device_composite():
@@ -311,8 +380,21 @@ def main():
     enable_compilation_cache()
 
     link_lat_ms, link_bw_mbs = measure_link()
-    page_s, latency_s, workload = run_e2e()
+    page_s, latency_s, workload, stages, early_page_s = run_e2e()
     pages_per_sec = 1.0 / page_s
+    early_rec_s, _ = run_early_exit(k=25)
+
+    # link floor: per-page bytes at the measured bandwidth + one
+    # round-trip per device sync — the best any host pipeline on this
+    # tunnel could do for the same transfer schedule
+    total_mb = sum(
+        seg.get("mb", 0.0) for row in stages.values() for seg in row.values()
+    )
+    syncs = sum(
+        seg["n"] for stage, row in stages.items() for kind, seg in row.items()
+        if kind in ("sync", "upload")
+    )
+    link_floor_ms = total_mb / max(link_bw_mbs, 1e-6) * 1e3 + syncs * link_lat_ms
 
     det_s, lay_s, rec_s = run_device_composite()
     device_page_s = det_s + 3 * lay_s + rec_s
@@ -335,6 +417,8 @@ def main():
                     "e2e_single_page_latency_ms": round(latency_s * 1e3, 1),
                     "link_roundtrip_ms": link_lat_ms,
                     "link_bandwidth_mb_s": link_bw_mbs,
+                    "stages_per_page": stages,
+                    "link_floor_ms_per_page": round(link_floor_ms, 1),
                     "workload": workload,
                     "device_composite_pages_per_sec": round(
                         1.0 / device_page_s, 2
@@ -342,6 +426,12 @@ def main():
                     "dbnet_1280x960_ms": round(det_s * 1e3, 2),
                     "rtdetr_640_ms": round(lay_s * 1e3, 2),
                     "parseq_large_b128_lines_per_sec": round(128 / rec_s, 1),
+                    "parseq_large_b128_lines_per_sec_earlyexit_k25": round(
+                        128 / early_rec_s, 1
+                    ),
+                    "e2e_pages_per_sec_earlyexit_k25": round(
+                        1.0 / early_page_s, 2
+                    ),
                     "torch_cpu_page_s_lower_bound": round(cpu_page_s, 1),
                 },
             }

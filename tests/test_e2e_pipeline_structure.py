@@ -44,13 +44,14 @@ def analyzed():
         visualize=False,
         device="cpu",
     )
-    det = bench._PinnedDetector(an.text_detector, quads)
-    # the small det config produces a tiny prob map on which the painted
-    # 20px lines vanish; paint on a fixed half-scale canvas instead (the
-    # postprocessor rescales quads to the page by dest_w/dest_h anyway)
-    det._paint = lambda shape, paint=det._paint: paint((1, 640, 480))
-    an.text_detector = det
-    an.layout = bench._PinnedLayout(an.layout, paragraphs, tables, figure_box)
+    # pin at the postprocess seams (real device programs still run); the
+    # small det config's tiny real map would swallow the painted 20 px
+    # lines, so paint on a fixed half-scale canvas (the postprocessor
+    # rescales quads to the page by dest_w/dest_h anyway)
+    bench._pin_analyzer(
+        an, quads, paragraphs, tables, figure_box,
+        paint_shape=(1, 640, 480),
+    )
     results, _, _ = an(img)
     return img, quads, paragraphs, tables, results, an
 
