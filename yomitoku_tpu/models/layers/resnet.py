@@ -107,6 +107,51 @@ class BNParams(nn.Module):
         )
 
 
+def use_fused_stage(x, n_blocks, C, Cm, dilation):
+    """Whole-stage VMEM kernel gate (ops/pallas/stage.py).  Opt-in:
+    YOMITOKU_TPU_FUSED_STAGE=1 (TPU) or =interpret (CPU tests).  Unlike
+    the per-block kernel, one call covers a stage's whole stride-1 tail,
+    so the custom-call layout boundary amortizes over N blocks."""
+    import os
+
+    mode = os.environ.get("YOMITOKU_TPU_FUSED_STAGE")
+    if mode not in ("1", "interpret"):
+        return False
+    if mode == "1" and jax.default_backend() != "tpu":
+        return False
+    from ...ops.pallas.stage import stage_th
+
+    H, W = x.shape[1:3]
+    return stage_th(H, W, C, Cm, n_blocks, dilation) is not None
+
+
+class BottleneckFoldedParams(nn.Module):
+    """Declares one identity bottleneck's params under the standard
+    names (conv1/bn1/.../conv3/bn3 — same tree paths as ``Bottleneck``,
+    so checkpoints are interchangeable) and returns them BN-folded for
+    the fused stage kernel."""
+
+    planes: int
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        from ...ops.pallas.bottleneck import fold_bn
+
+        Cm, C = self.planes, self.planes * 4
+        k1 = ConvParams((1, 1, self.cin, Cm), name="conv1")()
+        m1, a1 = fold_bn(*BNParams(Cm, name="bn1")())
+        k2 = ConvParams((3, 3, Cm, Cm), name="conv2")()
+        m2, a2 = fold_bn(*BNParams(Cm, name="bn2")())
+        k3 = ConvParams((1, 1, Cm, C), name="conv3")()
+        m3, a3 = fold_bn(*BNParams(C, name="bn3")())
+        return (
+            k1[0, 0] * m1, a1,
+            k2.reshape(9, Cm, Cm) * m2, a2,
+            k3[0, 0] * m3, a3,
+        )
+
+
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
@@ -186,15 +231,49 @@ class ResNetFeatures(nn.Module):
                 stride = 1
             else:
                 prev_dilation = dilation
-            for bi in range(blocks):
-                x = Bottleneck(
-                    planes,
-                    stride=stride if bi == 0 else 1,
-                    dilation=prev_dilation if bi == 0 else dilation,
-                    downsample=bi == 0,
-                    dtype=dt,
-                    name=f"layer{li + 1}_{bi}",
-                )(x)
+            x = Bottleneck(
+                planes,
+                stride=stride,
+                dilation=prev_dilation,
+                downsample=True,
+                dtype=dt,
+                name=f"layer{li + 1}_0",
+            )(x)
+            if blocks > 1 and use_fused_stage(
+                x, blocks - 1, planes * 4, planes, dilation
+            ):
+                import os
+
+                from ...ops.pallas.stage import fused_identity_stage
+
+                folded = [
+                    BottleneckFoldedParams(
+                        planes, x.shape[-1], name=f"layer{li + 1}_{bi}"
+                    )()
+                    for bi in range(1, blocks)
+                ]
+                stacks = [
+                    jnp.stack([f[c] for f in folded]) for c in range(6)
+                ]
+                w1s, b1s, w2s, b2s, w3s, b3s = stacks
+                x = fused_identity_stage(
+                    x.astype(dt),
+                    w1s.astype(dt), b1s, w2s.astype(dt), b2s,
+                    w3s.astype(dt), b3s,
+                    dilation=dilation,
+                    interpret=os.environ.get("YOMITOKU_TPU_FUSED_STAGE")
+                    == "interpret",
+                )
+            else:
+                for bi in range(1, blocks):
+                    x = Bottleneck(
+                        planes,
+                        stride=1,
+                        dilation=dilation,
+                        downsample=False,
+                        dtype=dt,
+                        name=f"layer{li + 1}_{bi}",
+                    )(x)
             feats[f"layer{li + 1}"] = x
             planes *= 2
         return feats
