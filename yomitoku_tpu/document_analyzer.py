@@ -480,11 +480,15 @@ class DocumentAnalyzer:
         }
 
     def _run_fused(self, img, page):
-        """Single-dispatch page path (accelerator default): det+layout run
-        as ONE device program with ONE readback (ops.fused_page), the TSR
-        region forwards are enqueued before the detector's host contour
-        pass so the device works through them while the host walks the
-        probability map, and only then does the TSR readback sync."""
+        """Single-dispatch page path (accelerator default): det, layout,
+        AND the TSR table crops run as ONE device program with ONE
+        readback (ops.fused_page.FusedPageAnalysis) — the program itself
+        selects the table-classified layout detections and runs TSR on a
+        fixed number of crop slots, so the host never pays the
+        layout-readback -> TSR-dispatch round trip.  Tables the slots
+        missed (more than max_tables, or host-side dedup disagreements)
+        fall back to the chunked region path, overlapped with the
+        contour pass."""
         from .ops.device_crop import (
             collect_filtered_regions,
             dispatch_regions_from_page,
@@ -495,11 +499,18 @@ class DocumentAnalyzer:
         det = self.text_detector
         lp = self.layout.layout_parser
         tsr = self.layout.table_structure_recognizer
-        if getattr(self, "_fused_det_layout", None) is None:
-            from .ops.fused_page import FusedDetLayout
+        if getattr(self, "_fused_page_program", None) is None:
+            from .ops.fused_page import FusedPageAnalysis
 
-            self._fused_det_layout = FusedDetLayout(
-                det.model, lp.model, lp.postprocessor.num_top_queries
+            table_label = next(
+                i for i, c in lp.label_mapper.items() if c == "tables"
+            )
+            self._fused_page_program = FusedPageAnalysis(
+                det.model, lp.model, tsr.model,
+                lay_top_k=lp.postprocessor.num_top_queries,
+                tsr_top_k=tsr.postprocessor.num_top_queries,
+                table_label=table_label,
+                lay_thresh=lp.thresh_score,
             )
 
         ori_h, ori_w = img.shape[:2]
@@ -509,24 +520,39 @@ class DocumentAnalyzer:
             ori_h, ori_w,
             det._cfg.data.shortest_size, det._cfg.data.limit_size,
         )
-        prob, packed = self._fused_det_layout(
-            page, page.hw, det_hw, tuple(lp._cfg.data.img_size)
+        tsr_hw = tuple(tsr._cfg.data.img_size)
+        prob, packed, packed_t, sel, sel_valid = self._fused_page_program(
+            page, page.hw, det_hw, tuple(lp._cfg.data.img_size), tsr_hw
         )
         outputs = lp.postprocessor.filter_packed(
             packed, [[ori_w, ori_h]], lp.thresh_score
         )
         results_layout = LayoutParserSchema(**lp.filtering_elements(outputs[0]))
 
-        # enqueue TSR before the contour pass: device chews the table
-        # crops while the host walks the probability map
+        # match each kept table to its device slot by the (identically
+        # truncated+clamped) box; misses fall back to region dispatch
         tsr_data = tsr._preprocess_meta(
             img, [t.box for t in results_layout.tables]
         )
-        tsr_chunks = (
-            dispatch_regions_from_page(
-                tsr.model, page, tsr_data, tuple(tsr._cfg.data.img_size)
-            )
-            if tsr_data
+        slot_of = {
+            tuple(sel[j]): j for j in range(len(sel_valid)) if sel_valid[j]
+        }
+        filtered = [None] * len(tsr_data)
+        missing_idx, missing_data = [], []
+        for i, d in enumerate(tsr_data):
+            x1, y1 = d["offset"]
+            hh, ww = d["size"]
+            j = slot_of.pop((x1, y1, x1 + ww, y1 + hh), None)
+            if j is None:
+                missing_idx.append(i)
+                missing_data.append(d)
+            else:
+                filtered[i] = tsr.postprocessor.filter_packed(
+                    packed_t[j], [[ww, hh]], tsr.thresh_score
+                )[0]
+        chunks = (
+            dispatch_regions_from_page(tsr.model, page, missing_data, tsr_hw)
+            if missing_data
             else []
         )
 
@@ -534,12 +560,15 @@ class DocumentAnalyzer:
             quads, scores = det.postprocess({"binary": prob}, (ori_h, ori_w))
         results_det = TextDetectorSchema(points=quads, scores=scores)
 
-        tables = tsr.tables_from_filtered(
-            tsr_data,
-            collect_filtered_regions(
-                tsr_chunks, tsr.postprocessor, tsr.thresh_score
-            ),
-        )
+        if missing_data:
+            for i, one in zip(
+                missing_idx,
+                collect_filtered_regions(
+                    chunks, tsr.postprocessor, tsr.thresh_score
+                ),
+            ):
+                filtered[i] = one
+        tables = tsr.tables_from_filtered(tsr_data, filtered)
         layout_schema = LayoutAnalyzerSchema(
             paragraphs=results_layout.paragraphs,
             tables=tables,

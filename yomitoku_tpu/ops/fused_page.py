@@ -94,3 +94,152 @@ class FusedDetLayout:
         from ..models.dbnet import _use_packed_head
 
         return _use_packed_head(None)
+
+
+def _unpack_prob(det_model, flat_u8, det_out_hw):
+    """Wire u8 prob section -> (1, oh, ow) float32 map."""
+    from ..models.dbnet import _use_packed_head
+
+    oh, ow = det_out_hw
+    if oh % 4 == 0 and ow % 4 == 0 and _use_packed_head(None):
+        flat_u8 = flat_u8.reshape(1, oh // 4, ow // 4, 16)
+    else:
+        flat_u8 = flat_u8.reshape(1, oh, ow)
+    return det_model._unpack_u8(flat_u8).astype(np.float32) * (1.0 / 255.0)
+
+
+class FusedPageAnalysis:
+    """det + layout + TSR in ONE device program / ONE readback.
+
+    The host only learns which boxes are tables after the layout
+    readback — a round trip the TSR dispatch then trails by.  Instead
+    the program itself selects the top ``max_tables`` table-classified
+    layout detections (score > threshold), crops them from the shared
+    page (reproducing the host's int-truncate + clamp geometry), runs
+    the TSR forward on the fixed-size slot batch, and ships everything
+    in one packed wire:
+
+        [det prob map u8] [layout (1,k,6) f32] [tsr (K,q,6) f32]
+        [slot boxes (K,4) f32] [slot valid (K,) f32]
+
+    Pages with more than ``max_tables`` kept tables fall back to the
+    chunked region path for the unmatched ones (rare).  Padded slots
+    crop a degenerate 1x1 region; the host drops them by slot validity.
+    """
+
+    def __init__(self, det_model, lay_model, tsr_model, lay_top_k,
+                 tsr_top_k, table_label, lay_thresh, max_tables=4):
+        self.det = det_model
+        self.lay = lay_model
+        self.tsr = tsr_model
+        self.lay_k = int(lay_top_k)
+        self.tsr_k = int(tsr_top_k)
+        self.table_label = int(table_label)
+        self.lay_thresh = float(lay_thresh)
+        self.max_tables = int(max_tables)
+        self._fn = jax.jit(partial(self._fwd, self), static_argnums=(5, 7, 8))
+
+    @staticmethod
+    def _fwd(self, det_params, lay_params, tsr_params, page, det_mat,
+             det_hw, lay_mat, lay_hw, tsr_hw, orig_wh):
+        from .device_crop import sample_lines
+
+        prob = DBNet._forward_from_page(
+            self.det, det_params, page, det_mat, det_hw
+        )
+        preds = RTDETRv2._forward_from_page(
+            self.lay, lay_params, page, lay_mat, lay_hw
+        )
+        packed = _topk_device(
+            preds["pred_logits"], preds["pred_boxes"], orig_wh, self.lay_k
+        )
+
+        # ---- table slot selection (mirrors the host's filter_packed
+        # clip + filtering int-truncate + preprocess clamp)
+        row = packed[0]
+        W = orig_wh[0, 0]
+        H = orig_wh[0, 1]
+        score = jnp.where(
+            (row[:, 0] == self.table_label) & (row[:, 1] > self.lay_thresh),
+            row[:, 1], -1.0,
+        )
+        top_score, top_idx = jax.lax.top_k(score, self.max_tables)
+        valid = top_score > 0.0
+        b = jnp.take(row, top_idx, axis=0)[:, 2:6]
+        x1 = jnp.clip(jnp.trunc(jnp.clip(b[:, 0], 0.0, None)), 0.0, W)
+        y1 = jnp.clip(jnp.trunc(jnp.clip(b[:, 1], 0.0, None)), 0.0, H)
+        x2 = jnp.clip(jnp.trunc(jnp.clip(b[:, 2], 0.0, W)), x1, W)
+        y2 = jnp.clip(jnp.trunc(jnp.clip(b[:, 3], 0.0, H)), y1, H)
+        # padded / degenerate slots crop a 1x1 corner
+        ok = valid & (x2 > x1) & (y2 > y1)
+        x1 = jnp.where(ok, x1, 0.0)
+        y1 = jnp.where(ok, y1, 0.0)
+        x2 = jnp.where(ok, x2, 1.0)
+        y2 = jnp.where(ok, y2, 1.0)
+        sel = jnp.stack([x1, y1, x2, y2], axis=1)  # (K, 4)
+
+        oh, ow = tsr_hw
+        sx = (x2 - x1) / ow
+        sy = (y2 - y1) / oh
+        zeros = jnp.zeros_like(sx)
+        ones = jnp.ones_like(sx)
+        mats = jnp.stack(
+            [
+                jnp.stack([sx, zeros, x1 + 0.5 * sx - 0.5], 1),
+                jnp.stack([zeros, sy, y1 + 0.5 * sy - 0.5], 1),
+                jnp.stack([zeros, zeros, ones], 1),
+            ],
+            axis=1,
+        )  # (K, 3, 3)
+        K = self.max_tables
+        crop_valid = jnp.tile(jnp.asarray([[ow, oh]], jnp.int32), (K, 1))
+        crops = sample_lines(
+            page, mats, crop_valid, out_hw=tsr_hw, flip_bgr=True
+        )
+        x = crops.astype(self.tsr.dtype) * (1.0 / 255.0)
+        preds_t = self.tsr.core.apply(tsr_params, x)
+        sizes_t = jnp.stack([x2 - x1, y2 - y1], axis=1)  # (K, 2) (w, h)
+        packed_t = _topk_device(
+            preds_t["pred_logits"], preds_t["pred_boxes"], sizes_t,
+            self.tsr_k,
+        )
+
+        u8 = lambda a: jax.lax.bitcast_convert_type(
+            a.astype(jnp.float32), jnp.uint8
+        ).reshape(-1)
+        return jnp.concatenate(
+            [
+                prob.reshape(-1),
+                u8(packed), u8(packed_t), u8(sel),
+                u8(valid.astype(jnp.float32)),
+            ]
+        )
+
+    def __call__(self, page, page_hw, det_out_hw, lay_out_hw, tsr_out_hw):
+        h, w = page_hw
+        det_mat, _ = region_mats([(0, 0, w, h)], det_out_hw)
+        lay_mat, _ = region_mats([(0, 0, w, h)], lay_out_hw)
+        orig_wh = jnp.asarray([[w, h]], jnp.float32)
+        with segment("det+layout+tsr", "dispatch"):
+            wire = self._fn(
+                self.det.dparams, self.lay.dparams, self.tsr.dparams,
+                page.dev,
+                jnp.asarray(det_mat), tuple(det_out_hw),
+                jnp.asarray(lay_mat), tuple(lay_out_hw), tuple(tsr_out_hw),
+                orig_wh,
+            )
+        with segment("det+layout+tsr", "sync", nbytes=wire.nbytes):
+            arr = np.asarray(wire)
+
+        oh, ow = det_out_hw
+        K, k, q = self.max_tables, self.lay_k, self.tsr_k
+        n_prob = oh * ow
+        cuts = np.cumsum([n_prob, k * 24, K * q * 24, K * 16, K * 4])
+        with segment("det", "unpack"):
+            prob = _unpack_prob(self.det, arr[: cuts[0]], det_out_hw)
+        f32 = lambda a: np.ascontiguousarray(a).view(np.float32)
+        packed = f32(arr[cuts[0] : cuts[1]]).reshape(1, k, 6)
+        packed_t = f32(arr[cuts[1] : cuts[2]]).reshape(K, 1, q, 6)
+        sel = f32(arr[cuts[2] : cuts[3]]).reshape(K, 4).astype(np.int64)
+        valid = f32(arr[cuts[3] : cuts[4]]) > 0.0
+        return prob, packed, packed_t, sel, valid
