@@ -60,3 +60,23 @@ def test_unsupported_shape_falls_back():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
     )
+
+
+def test_in_model_gate_interpret(monkeypatch):
+    """ResNetFeatures routes stage tails through the fused kernel when
+    gated (=interpret on CPU) and matches the block-by-block path."""
+    from yomitoku_tpu.config import structured
+    from yomitoku_tpu.configs import TextDetectorDBNetV2_1Config
+    from yomitoku_tpu.models.dbnet import DBNet
+
+    det = DBNet(structured(TextDetectorDBNetV2_1Config))
+    det.params = det.init_params(0)
+    x = np.random.RandomState(0).randint(0, 255, (1, 64, 96, 3), np.uint8)
+    base = det.forward_binary_u8(x)
+
+    monkeypatch.setenv("YOMITOKU_TPU_FUSED_STAGE", "interpret")
+    det2 = DBNet(structured(TextDetectorDBNetV2_1Config))
+    det2.params = det.params
+    fused = det2.forward_binary_u8(x)
+    np.testing.assert_allclose(fused, base, atol=3e-2)
+    assert np.abs(fused - base).mean() < 2e-3

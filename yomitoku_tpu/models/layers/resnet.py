@@ -114,6 +114,8 @@ def use_fused_stage(x, n_blocks, C, Cm, dilation):
     so the custom-call layout boundary amortizes over N blocks."""
     import os
 
+    import jax
+
     mode = os.environ.get("YOMITOKU_TPU_FUSED_STAGE")
     if mode not in ("1", "interpret"):
         return False
