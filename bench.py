@@ -132,21 +132,41 @@ def _pin_analyzer(analyzer, quads, paragraphs, tables, figure_box,
     det.postprocess = det_postprocess
 
     lp = analyzer.layout.layout_parser
+    table_label = next(
+        i for i, c in lp.label_mapper.items() if c == "tables"
+    )
 
     def filtering_elements(preds):
+        # keep the top-score REAL table detections (the same
+        # score-descending selection the fused program's device TSR
+        # slots use, so slots and kept tables match exactly — as they do
+        # with real weights); pad from the synthetic spec if the random
+        # weights found fewer.  The synthetic paragraph/figure boxes
+        # never touch the device.
+        real_tables = preds["boxes"][preds["labels"] == table_label]
+        table_boxes = [
+            b.astype(int).tolist() for b in real_tables[: len(tables)]
+        ]
+        table_boxes += [
+            list(map(int, spec["box"]))
+            for spec in tables[len(table_boxes):]
+        ]
         el = lambda box, score, role: {
             "id": None, "box": list(map(int, box)), "score": score,
             "role": role, "contents": None,
         }
         return {
             "paragraphs": [el(b, 0.95, None) for b in paragraphs],
-            "tables": [el(spec["box"], 0.95, None) for spec in tables],
+            "tables": [el(b, 0.95, None) for b in table_boxes],
             "figures": [el(figure_box, 0.9, None)],
         }
 
     lp.filtering_elements = filtering_elements
 
     def synthetic_tables():
+        """The pinned 4x4 grids (aligned to the painted line layout, so
+        the aggregation workload stays constant); the TSR crops above
+        ran at the REAL detected boxes."""
         from yomitoku_tpu.schemas import (
             TableCellSchema,
             TableLineSchema,

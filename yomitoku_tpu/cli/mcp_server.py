@@ -63,7 +63,6 @@ async def process_ocr(ctx: Context, filename: str, output_format: str) -> str:
     results = []
     img = None
     for page, img in enumerate(imgs):
-        analyzer.img = img
         result, _, _ = await analyzer.run(img)
         results.append(result)
         await ctx.report_progress(page + 1, len(imgs))

@@ -377,7 +377,7 @@ class DocumentAnalyzer:
         self.split_text_across_cells = split_text_across_cells
         self.ignore_ruby = ignore_ruby
         self.ruby_threshold = ruby_threshold
-        self.img = None
+        self.img = None  # reference-API compat attribute; never read
 
     def aggregate(self, ocr_res, layout_res):
         """Assign words to table cells and layout paragraphs, then order
@@ -649,7 +649,10 @@ class DocumentAnalyzer:
         return DocumentAnalyzerSchema(**outputs), ocr, layout
 
     def __call__(self, img):
-        self.img = img
+        # NOTE: unlike the reference (document_analyzer.py:637), the
+        # current page is NOT stashed on self — nothing reads it, and the
+        # mutation made concurrent __call__s racy (SURVEY §5).  batch()
+        # relies on this being thread-safe.
         results, ocr, layout = asyncio.run(self.run(img))
         if self.visualize:
             from .utils.visualizer import reading_order_visualizer
