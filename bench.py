@@ -90,7 +90,7 @@ def _build_workload():
     return img, quads, paragraphs, tables, figure_box
 
 
-def _pin_analyzer(analyzer, quads, paragraphs, tables, figure_box,
+def _pin_analyzer(analyzer, img, quads, paragraphs, tables, figure_box,
                   paint_shape=None):
     """Pin prediction CONTENTS at the postprocess seams, leaving every
     device program, transfer, and host pass of the REAL pipeline
@@ -135,6 +135,20 @@ def _pin_analyzer(analyzer, quads, paragraphs, tables, figure_box,
     table_label = next(
         i for i, c in lp.label_mapper.items() if c == "tables"
     )
+    # Random weights leave whole classes (tables included) under the
+    # detection threshold, so the fused program's device-selected TSR
+    # slots would never fire and every page would pay the fallback
+    # dispatch — unlike production.  Spread + rebalance the layout
+    # score heads so every class yields saturated, stable detections
+    # (yomitoku_tpu/utils/synthetic_heads.py; same trick as the
+    # multichip dryrun).
+    from yomitoku_tpu.utils.synthetic_heads import (
+        balance_final_score_head,
+        spread_score_heads,
+    )
+
+    lp.model.params = spread_score_heads(lp.model.params)
+    balance_final_score_head(lp.model, lp.preprocess(img))
 
     def filtering_elements(preds):
         # keep the top-score REAL table detections (the same
@@ -218,7 +232,7 @@ def run_e2e(device="tpu", warmup=2, iters=8):
 
     img, quads, paragraphs, tables, figure_box = _build_workload()
     analyzer = DocumentAnalyzer(visualize=False, device=device)
-    _pin_analyzer(analyzer, quads, paragraphs, tables, figure_box)
+    _pin_analyzer(analyzer, img, quads, paragraphs, tables, figure_box)
 
     for _ in range(warmup):
         result, _, _ = analyzer(img)

@@ -49,7 +49,7 @@ def analyzed():
     # lines, so paint on a fixed half-scale canvas (the postprocessor
     # rescales quads to the page by dest_w/dest_h anyway)
     bench._pin_analyzer(
-        an, quads, paragraphs, tables, figure_box,
+        an, img, quads, paragraphs, tables, figure_box,
         paint_shape=(1, 640, 480),
     )
     results, _, _ = an(img)

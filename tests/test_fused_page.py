@@ -111,3 +111,68 @@ def test_document_analyzer_fused_matches_threaded(monkeypatch):
     monkeypatch.delenv("YOMITOKU_TPU_NO_FUSED_PAGE")
     fused, _, _ = analyzer(img)
     assert fused.model_dump() == threaded.model_dump()
+
+
+def test_fused_slots_match_without_fallback(monkeypatch):
+    """With detectable tables (spread+balanced score heads), the host's
+    kept tables must match the device TSR slots — no fallback region
+    dispatch."""
+    import yomitoku_tpu.ops.device_crop as dc
+    from yomitoku_tpu.document_analyzer import DocumentAnalyzer
+    from yomitoku_tpu.utils.synthetic_heads import (
+        balance_final_score_head,
+        spread_score_heads,
+    )
+
+    monkeypatch.setattr(dc, "device_crops_enabled", lambda: True)
+    analyzer = DocumentAnalyzer(
+        configs={
+            "ocr": {
+                "text_detector": {
+                    "path_cfg": "tests/yaml/det_small.yaml",
+                    "from_pretrained": False,
+                },
+                "text_recognizer": {
+                    "path_cfg": "tests/yaml/rec_small.yaml",
+                    "from_pretrained": False,
+                },
+            },
+            "layout_analyzer": {
+                "layout_parser": {
+                    "path_cfg": "tests/yaml/layout_small.yaml",
+                    "from_pretrained": False,
+                },
+                "table_structure_recognizer": {
+                    "path_cfg": "tests/yaml/layout_small.yaml",
+                    "from_pretrained": False,
+                },
+            },
+        },
+        device="cpu",
+    )
+    lp = analyzer.layout.layout_parser
+    lp.model.params = spread_score_heads(lp.model.params)
+    img = _page(160, 240, seed=7)
+    balance_final_score_head(lp.model, lp.preprocess(img))
+    # drop the dedup so kept tables == top-score tables (the bench pins
+    # the same way); keep at most 2
+    real_filtering = lp.filtering_elements
+
+    def keep_top2(preds):
+        out = real_filtering(preds)
+        out["tables"] = out["tables"][:2]
+        return out
+
+    lp.filtering_elements = keep_top2
+
+    calls = []
+    orig = dc.dispatch_regions_from_page
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(dc, "dispatch_regions_from_page", spy)
+    results, _, _ = analyzer(img)
+    assert hasattr(results, "tables")
+    assert not calls, "fused TSR slots missed; fallback dispatched"
