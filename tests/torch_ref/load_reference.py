@@ -299,3 +299,61 @@ def build_reference_rtdetr(cfg):
             return self.decoder(self.encoder(self.backbone(x)))
 
     return RefRTDETRv2()
+
+
+def load_reference_extractor():
+    """Mount the reference extractor package (schema / normalizer / resolver /
+    llm_client / prompt / visualizer / pipeline / rule_pipeline,
+    reference extractor/rule_pipeline.py:23-403) on top of the ref_sem
+    semantic stack, for differential tests of rule extraction.
+
+    The reference's ``jaconv`` wheel is absent in this environment; it is
+    stubbed with yomitoku_tpu.utils.jp_text (same function surface:
+    z2h/h2z/kata2hira/hira2kata), so both sides are pinned to identical
+    width-conversion behavior and the differential isolates the pipeline
+    logic itself."""
+    pkg = load_reference_semantic()
+    pkg_name = "ref_sem"
+    base = "/root/reference/src/yomitoku"
+    if hasattr(pkg, "extractor") and hasattr(pkg.extractor, "rule_pipeline"):
+        return pkg.extractor
+
+    if "jaconv" not in sys.modules:
+        from yomitoku_tpu.utils import jp_text
+
+        ja = types.ModuleType("jaconv")
+        ja.z2h = jp_text.z2h
+        ja.h2z = jp_text.h2z
+        ja.kata2hira = jp_text.kata2hira
+        ja.hira2kata = jp_text.hira2kata
+        sys.modules["jaconv"] = ja
+
+    def _load(modname, fpath):
+        full = f"{pkg_name}.{modname}"
+        if full in sys.modules:
+            return sys.modules[full]
+        spec = importlib.util.spec_from_file_location(full, fpath)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[full] = mod
+        spec.loader.exec_module(mod)
+        parent, _, leaf = modname.rpartition(".")
+        setattr(sys.modules[f"{pkg_name}.{parent}" if parent else pkg_name],
+                leaf, mod)
+        return mod
+
+    if f"{pkg_name}.constants" not in sys.modules:
+        _load("constants", f"{base}/constants.py")
+
+    sub_name = f"{pkg_name}.extractor"
+    if sub_name not in sys.modules:
+        sub = types.ModuleType(sub_name)
+        sub.__path__ = [f"{base}/extractor"]
+        sys.modules[sub_name] = sub
+        pkg.extractor = sub
+    else:
+        pkg.extractor = sys.modules[sub_name]
+
+    for m in ("schema", "normalizer", "resolver", "llm_client", "prompt",
+              "visualizer", "pipeline", "rule_pipeline"):
+        _load(f"extractor.{m}", f"{base}/extractor/{m}.py")
+    return pkg.extractor
