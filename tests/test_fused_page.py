@@ -55,7 +55,10 @@ def test_fused_matches_separate_programs(models):
     fused = FusedDetLayout(det, lay, num_top_queries=20)
     prob_f, packed_f = fused(page, page.hw, det_hw, lay_hw)
 
-    prob_s = det.forward_binary_from_page(page.dev, page.hw, det_hw)
+    # the fused wire keeps the prob map u8 (value = prob*255)
+    prob_s = det.forward_binary_from_page(
+        page.dev, page.hw, det_hw, as_u8=True
+    )
     from yomitoku_tpu.ops.device_crop import region_mats
     from yomitoku_tpu.postprocessor.rtdetr_postprocessor import (
         RTDETRPostProcessor,

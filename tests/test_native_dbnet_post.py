@@ -155,3 +155,41 @@ def test_scaling_to_dest():
     q = np.array(quads[0])
     assert q.max() > 500  # scaled up 10x
     assert q.min() >= 0 and q.max() <= 1000
+
+
+def test_u8_wire_map_matches_float_path():
+    """The u8 entry point (map value = prob*255) must make identical
+    quad/keep decisions to converting the map to float32 first, with
+    scores equal to float rounding."""
+    rng = np.random.RandomState(7)
+    prob_u8 = np.zeros((96, 128), np.uint8)
+    # several blobs straddling the 0.3 threshold boundary (76/77)
+    prob_u8[10:20, 10:40] = 230
+    prob_u8[30:42, 50:90] = rng.randint(60, 255, (12, 40), np.uint8)
+    prob_u8[60:70, 20:60] = 77   # exactly one count above threshold
+    prob_u8[80:86, 70:110] = 76  # exactly at/below threshold: dropped
+    prob_f32 = prob_u8.astype(np.float32) * (1.0 / 255.0)
+
+    pp = DBnetPostProcessor(**PP_KW)
+    os.environ.pop("YOMITOKU_TPU_NO_NATIVE_POST", None)
+    qu, su = pp({"binary": prob_u8[None]}, (96, 128))
+    qf, sf = pp({"binary": prob_f32[None]}, (96, 128))
+    assert qu == qf
+    np.testing.assert_allclose(su, sf, atol=1e-5)
+
+
+def test_u8_wire_map_cv2_fallback():
+    """With the native path disabled, a u8 map must still postprocess
+    (converted internally) and match the float path."""
+    prob_u8 = np.zeros((64, 96), np.uint8)
+    prob_u8[12:24, 16:64] = 240
+    prob_f32 = prob_u8.astype(np.float32) * (1.0 / 255.0)
+    pp = DBnetPostProcessor(**PP_KW)
+    os.environ["YOMITOKU_TPU_NO_NATIVE_POST"] = "1"
+    try:
+        qu, su = pp({"binary": prob_u8[None]}, (64, 96))
+        qf, sf = pp({"binary": prob_f32[None]}, (64, 96))
+    finally:
+        os.environ.pop("YOMITOKU_TPU_NO_NATIVE_POST", None)
+    assert qu == qf
+    np.testing.assert_allclose(su, sf, atol=1e-6)

@@ -732,7 +732,7 @@ class DocumentAnalyzer:
         det_results = [None] * n
         for members in buckets.values():
             maps = det.model.forward_binary_u8(
-                np.stack([t for _, t in members])
+                np.stack([t for _, t in members]), as_u8=True
             )
             for (i, _), prob in zip(members, maps):
                 quads, scores = det.postprocess(

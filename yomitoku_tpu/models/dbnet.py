@@ -318,9 +318,12 @@ class DBNet(JaxModel):
     #: stage label for utils.stagetrace accounting
     trace_stage = "det"
 
-    def forward_binary_from_page(self, page, src_hw, out_hw):
-        """uint8 device page (padded) -> (1, oh, ow) float32 prob map;
-        src_hw is the original (unpadded) page size."""
+    def forward_binary_from_page(self, page, src_hw, out_hw, as_u8=False):
+        """uint8 device page (padded) -> (1, oh, ow) prob map; src_hw is
+        the original (unpadded) page size.  ``as_u8=True`` returns the u8
+        wire map (value = prob*255) without the host float conversion —
+        75+ ms for a 1280x960 page on a 1-core host; the native
+        postprocessor and the visualizer consume it directly."""
         from ..ops.device_crop import region_mats
         from ..utils.stagetrace import segment
 
@@ -334,14 +337,18 @@ class DBNet(JaxModel):
             out = np.asarray(out)
         with segment(self.trace_stage, "unpack"):
             out = self._unpack_u8(out)
+            if as_u8:
+                return out
             return out.astype(np.float32) * (1.0 / 255.0)
 
     def forward_binary(self, images: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) standardized float32 -> (B, H, W) prob map."""
         return np.asarray(self._fwd(self.dparams, self.place_batch(images)))
 
-    def forward_binary_u8(self, images_u8: np.ndarray) -> np.ndarray:
-        """(B, H, W, 3) uint8 (resized, BGR) -> (B, H, W) float32 prob map."""
+    def forward_binary_u8(self, images_u8: np.ndarray, as_u8=False) -> np.ndarray:
+        """(B, H, W, 3) uint8 (resized, BGR) -> (B, H, W) prob map
+        (float32, or the u8 wire map with ``as_u8=True`` — see
+        forward_binary_from_page)."""
         from ..utils.stagetrace import segment
 
         with segment(self.trace_stage, "dispatch",
@@ -351,6 +358,8 @@ class DBNet(JaxModel):
             out = np.asarray(out)
         with segment(self.trace_stage, "unpack"):
             out = self._unpack_u8(out)
+            if as_u8:
+                return out
             return out.astype(np.float32) * (1.0 / 255.0)
 
     def init_params(self, seed: int = 0):

@@ -101,6 +101,16 @@ def _load_dbnet_post():
             ctypes.POINTER(ctypes.c_float),
         ]
         lib.dbnet_boxes.restype = ctypes.c_int
+        lib.dbnet_boxes_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.dbnet_boxes_u8.restype = ctypes.c_int
         lib.depth_to_space_u8.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int, ctypes.c_int,
@@ -139,25 +149,42 @@ def dbnet_boxes(
     dest_w: int,
     dest_h: int,
 ):
-    """(H, W) float32 probability map -> (quads list[(4,2) int], scores).
+    """(H, W) probability map -> (quads list[(4,2) int], scores).
+
+    Accepts float32 maps, or uint8 wire maps (value = prob*255) directly —
+    the u8 entry point thresholds/scores in the u8 domain, skipping the
+    host-side float conversion of the 1+ MB map entirely.
 
     Native equivalent of DBnetPostProcessor.boxes_from_bitmap (see
     dbnet_post.cpp for the algorithm and its relationship to the
     reference's cv2/pyclipper pipeline)."""
     lib = _load_dbnet_post()
-    prob = np.ascontiguousarray(prob, dtype=np.float32)
-    h, w = prob.shape
     quads = np.zeros((max_candidates, 4, 2), dtype=np.int16)
     scores = np.zeros((max_candidates,), dtype=np.float32)
-    n = lib.dbnet_boxes(
-        prob.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        int(h), int(w),
-        float(thresh), float(box_thresh), float(unclip_ratio),
-        int(min_size), int(max_candidates),
-        int(dest_w), int(dest_h),
-        quads.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-    )
+    if prob.dtype == np.uint8:
+        prob = np.ascontiguousarray(prob)
+        h, w = prob.shape
+        n = lib.dbnet_boxes_u8(
+            prob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(h), int(w),
+            float(thresh), float(box_thresh), float(unclip_ratio),
+            int(min_size), int(max_candidates),
+            int(dest_w), int(dest_h),
+            quads.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+    else:
+        prob = np.ascontiguousarray(prob, dtype=np.float32)
+        h, w = prob.shape
+        n = lib.dbnet_boxes(
+            prob.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            int(h), int(w),
+            float(thresh), float(box_thresh), float(unclip_ratio),
+            int(min_size), int(max_candidates),
+            int(dest_w), int(dest_h),
+            quads.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
     return (
         [q.tolist() for q in quads[:n]],
         [float(s) for s in scores[:n]],

@@ -150,9 +150,16 @@ void order_quad(Pt c[4], Pt out[4]) {
 
 }  // namespace
 
-extern "C" int dbnet_boxes(
-    const float* prob, int h, int w,
-    float thresh, float box_thresh, float unclip_ratio,
+// Core implementation, parametrized over the probability element type so
+// the TPU's u8 wire map postprocesses without a host-side float conversion
+// (75+ ms for a 1280x960 page on a 1-core host).  thresh_t is the
+// threshold in the element's domain (thresh for float maps, thresh*255
+// for u8); pscale maps accumulated sums back to [0, 1] for the score.
+template <typename T>
+static int dbnet_boxes_impl(
+    const T* prob, int h, int w,
+    float thresh_t, float pscale,
+    float box_thresh, float unclip_ratio,
     int min_size, int max_candidates,
     int dest_w, int dest_h,
     int16_t* quads_out,   // max_candidates * 8
@@ -163,14 +170,14 @@ extern "C" int dbnet_boxes(
   std::vector<int> fg_row_start(h + 1, 0);  // runs of row y: [start[y], start[y+1])
   int prev_lo = 0, prev_hi = 0;  // [prev_lo, prev_hi) runs of row-1
   for (int y = 0; y < h; ++y) {
-    const float* row = prob + (size_t)y * w;
+    const T* row = prob + (size_t)y * w;
     int cur_lo = (int)runs.size();
     fg_row_start[y] = cur_lo;
     int x = 0;
     while (x < w) {
-      if (row[x] > thresh) {
+      if (row[x] > thresh_t) {
         int x0 = x;
-        while (x < w && row[x] > thresh) ++x;
+        while (x < w && row[x] > thresh_t) ++x;
         Run r{y, x0, x - 1, (int)runs.size()};
         runs.push_back(r);
       } else {
@@ -273,7 +280,7 @@ extern "C" int dbnet_boxes(
       const Run& r = runs[rs[ii]];
       pts.push_back({(double)r.x0, (double)r.row});
       pts.push_back({(double)r.x1, (double)r.row});
-      const float* rowp = prob + (size_t)r.row * w;
+      const T* rowp = prob + (size_t)r.row * w;
       for (int xx = r.x0; xx <= r.x1; ++xx) psum += rowp[xx];
       cnt += r.x1 - r.x0 + 1;
       // Contour-fill score: the previous run of this component on the
@@ -286,7 +293,7 @@ extern "C" int dbnet_boxes(
       int bi = bg_row_start[r.row];
       const int be = bg_row_start[r.row + 1];
       for (int xx = pr.x1 + 1; xx < r.x0; ++xx) {
-        if (rowp[xx] > thresh) {  // another component nested in the gap
+        if (rowp[xx] > thresh_t) {  // another component nested in the gap
           psum += rowp[xx];
           ++cnt;
           continue;
@@ -302,7 +309,7 @@ extern "C" int dbnet_boxes(
     Rect rect;
     if (!min_area_rect(hull, &rect)) continue;
     if (std::min(rect.w, rect.h) < (double)min_size) continue;
-    float score = cnt ? (float)(psum / (double)cnt) : 0.0f;
+    float score = cnt ? (float)(psum / (double)cnt) * pscale : 0.0f;
     if (score < box_thresh) continue;
 
     // analytic unclip (python unclip_rect)
@@ -344,6 +351,32 @@ extern "C" int dbnet_boxes(
     ++n_out;
   }
   return n_out;
+}
+
+extern "C" int dbnet_boxes(
+    const float* prob, int h, int w,
+    float thresh, float box_thresh, float unclip_ratio,
+    int min_size, int max_candidates,
+    int dest_w, int dest_h,
+    int16_t* quads_out, float* scores_out) {
+  return dbnet_boxes_impl<float>(
+      prob, h, w, thresh, 1.0f, box_thresh, unclip_ratio,
+      min_size, max_candidates, dest_w, dest_h, quads_out, scores_out);
+}
+
+// u8 wire-map entry point: v/255 > thresh  <=>  v > thresh*255 (no u8
+// value lands on the boundary for the config thresholds), and the score
+// sum rescales by 1/255 — bit-identical decisions to converting the map
+// to float32 first, without the conversion.
+extern "C" int dbnet_boxes_u8(
+    const unsigned char* prob, int h, int w,
+    float thresh, float box_thresh, float unclip_ratio,
+    int min_size, int max_candidates,
+    int dest_w, int dest_h,
+    int16_t* quads_out, float* scores_out) {
+  return dbnet_boxes_impl<unsigned char>(
+      prob, h, w, thresh * 255.0f, 1.0f / 255.0f, box_thresh, unclip_ratio,
+      min_size, max_candidates, dest_w, dest_h, quads_out, scores_out);
 }
 
 // Depth-to-space for the packed DBNet probability map: the device emits

@@ -82,9 +82,9 @@ class FusedDetLayout:
                 prob_wire = prob_wire.reshape(1, oh // 4, ow // 4, 16)
             else:
                 prob_wire = prob_wire.reshape(1, oh, ow)
-            prob = self.det._unpack_u8(prob_wire).astype(np.float32) * (
-                1.0 / 255.0
-            )
+            # stays u8 (value = prob*255): the native postprocessor
+            # consumes the wire map directly (see _unpack_prob)
+            prob = self.det._unpack_u8(prob_wire)
         packed = (
             arr[n_prob:].view(np.float32).reshape(1, self.k, 6).copy()
         )
@@ -97,7 +97,10 @@ class FusedDetLayout:
 
 
 def _unpack_prob(det_model, flat_u8, det_out_hw):
-    """Wire u8 prob section -> (1, oh, ow) float32 map."""
+    """Wire u8 prob section -> (1, oh, ow) u8 map (value = prob*255).
+    Stays u8: the native postprocessor thresholds/scores in the u8
+    domain, and the host float conversion of the 1+ MB map costs 75+ ms
+    on a 1-core host."""
     from ..models.dbnet import _use_packed_head
 
     oh, ow = det_out_hw
@@ -105,7 +108,7 @@ def _unpack_prob(det_model, flat_u8, det_out_hw):
         flat_u8 = flat_u8.reshape(1, oh // 4, ow // 4, 16)
     else:
         flat_u8 = flat_u8.reshape(1, oh, ow)
-    return det_model._unpack_u8(flat_u8).astype(np.float32) * (1.0 / 255.0)
+    return det_model._unpack_u8(flat_u8)
 
 
 class FusedPageAnalysis:

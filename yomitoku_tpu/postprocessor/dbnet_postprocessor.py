@@ -60,7 +60,8 @@ class DBnetPostProcessor:
         self.unclip_ratio = unclip_ratio
 
     def __call__(self, preds, image_size):
-        """preds: {"binary": (1, H, W) float ndarray}; image_size (h, w)
+        """preds: {"binary": (1, H, W) float ndarray, or uint8 wire map
+        (value = prob*255) on the accelerator path}; image_size (h, w)
         of the original image."""
         pred = np.asarray(preds["binary"])[0]
         height, width = image_size
@@ -90,6 +91,8 @@ class DBnetPostProcessor:
                     "native dbnet_post unavailable (%s); using the cv2 "
                     "fallback for this process", e,
                 )
+        if pred.dtype == np.uint8:  # u8 wire map: only native skips this
+            pred = pred.astype(np.float32) * (1.0 / 255.0)
         segmentation = pred > self.thresh
         return self.boxes_from_bitmap(pred, segmentation, width, height)
 

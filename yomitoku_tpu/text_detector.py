@@ -109,11 +109,13 @@ class TextDetector(BaseModule):
                 self._cfg.data.shortest_size, self._cfg.data.limit_size,
             )
             binary = self.model.forward_binary_from_page(
-                page.dev, page.hw, out_hw
+                page.dev, page.hw, out_hw, as_u8=True
             )
         else:
             tensor = self.preprocess_u8(img)
-            binary = self.model.forward_binary_u8(tensor)  # (1, H, W)
+            # u8 wire map (1, H, W): postprocessor and visualizer consume
+            # it directly, skipping the 1+ MB float conversion
+            binary = self.model.forward_binary_u8(tensor, as_u8=True)
         preds = {"binary": binary}
         from .utils.stagetrace import segment
 

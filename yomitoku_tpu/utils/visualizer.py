@@ -16,13 +16,18 @@ logger = set_logger(__name__, "INFO")
 
 
 def det_visualizer(img, quads, preds=None, vis_heatmap=False, line_color=(0, 255, 0)):
-    """preds: (H, W) float probability map (already a numpy array here —
-    the device program returns it reduced, unlike the reference's torch
-    tensor dict, visualizer.py:81-97)."""
+    """preds: (H, W) float probability map, or the u8 wire map
+    (value = prob*255) straight off the accelerator (already a numpy
+    array here — the device program returns it reduced, unlike the
+    reference's torch tensor dict, visualizer.py:81-97)."""
     out = img.copy()
     h, w = out.shape[:2]
     if vis_heatmap and preds is not None:
-        binary = (np.asarray(preds) * 255).astype(np.uint8)
+        preds = np.asarray(preds)
+        if preds.dtype == np.uint8:
+            binary = preds
+        else:
+            binary = (preds * 255).astype(np.uint8)
         binary = cv2.resize(binary, (w, h), interpolation=cv2.INTER_LINEAR)
         heatmap = cv2.applyColorMap(binary, cv2.COLORMAP_JET)
         out = cv2.addWeighted(out, 0.5, heatmap, 0.5, 0)
