@@ -408,6 +408,58 @@ def measure_link():
     return round(lat_ms, 1), round(bw_mbs, 1)
 
 
+def measure_practical_floor(stages, n_pages=9, depth=3):
+    """Achievable per-page wall ms for the pipeline's TRANSFER schedule
+    alone: the same per-page uploads/readbacks (byte-for-byte, sync-for-
+    sync, taken from the measured stage table) driven by trivial device
+    programs with zero host work, through the same depth-3 thread
+    pipeline as DocumentAnalyzer.batch.
+
+    Reading the gaps: e2e - practical floor = framework overhead
+    (host compute + device compute + imperfect overlap); practical floor
+    - analytic link_floor = tunnel/client reality (chunking, acks, GIL
+    during socket waits) that NO host pipeline on this link can cross."""
+    import jax
+    import jax.numpy as jnp
+    from concurrent.futures import ThreadPoolExecutor
+
+    # (upload_mb, readback_mb) per sync pair, from the stage table
+    uploads = [
+        seg.get("mb", 0.0)
+        for row in stages.values()
+        for kind, seg in row.items()
+        if kind == "upload"
+    ]
+    reads = [
+        seg.get("mb", 0.0)
+        for row in stages.values()
+        for kind, seg in row.items()
+        if kind == "sync"
+    ]
+
+    up_bufs = [np.zeros((max(int(mb * 1e6), 8),), np.uint8) for mb in uploads]
+    read_ns = [max(int(mb * 1e6), 8) for mb in reads]
+    expand = {
+        n: jax.jit(lambda x, n=n: jnp.tile(x.reshape(-1)[:1], (n,)))
+        for n in read_ns
+    }
+
+    def one_page(_):
+        d = jax.device_put(np.zeros((8,), np.uint8))
+        for b in up_bufs:
+            d = jax.device_put(b)
+        total = 0
+        for n in read_ns:
+            total += np.asarray(expand[n](d)).nbytes
+        return total
+
+    one_page(0)  # warm the executables
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(depth) as ex:
+        list(ex.map(one_page, range(n_pages)))
+    return (time.perf_counter() - t0) / n_pages * 1e3
+
+
 def main():
     from yomitoku_tpu.base import enable_compilation_cache
 
@@ -429,6 +481,7 @@ def main():
         if kind in ("sync", "upload")
     )
     link_floor_ms = total_mb / max(link_bw_mbs, 1e-6) * 1e3 + syncs * link_lat_ms
+    practical_floor_ms = measure_practical_floor(stages)
 
     det_s, lay_s, rec_s = run_device_composite()
     device_page_s = det_s + 3 * lay_s + rec_s
@@ -453,6 +506,9 @@ def main():
                     "link_bandwidth_mb_s": link_bw_mbs,
                     "stages_per_page": stages,
                     "link_floor_ms_per_page": round(link_floor_ms, 1),
+                    "practical_transfer_floor_ms_per_page": round(
+                        practical_floor_ms, 1
+                    ),
                     "workload": workload,
                     "device_composite_pages_per_sec": round(
                         1.0 / device_page_s, 2

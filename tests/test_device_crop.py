@@ -116,3 +116,26 @@ def test_page_padding_alignment():
     assert padded.shape[0] % 512 == 0 and padded.shape[1] % 512 == 0
     assert (padded[:601, :899] == page).all()
     assert padded[601:].sum() == 0
+
+
+def test_staged_page_mat_cached_and_correct():
+    """staged_page_mat returns the SAME committed device buffer for a
+    repeated (page_hw, out_hw) key (the cache exists to avoid re-paying
+    a tunnel transfer per dispatch) and its values match region_mats."""
+    import numpy as np
+
+    from yomitoku_tpu.ops.device_crop import (
+        region_mats,
+        staged_page_mat,
+        staged_wh,
+    )
+
+    a = staged_page_mat((960, 1280), (960, 1280))
+    b = staged_page_mat((960, 1280), (960, 1280))
+    assert a is b
+    ref, _ = region_mats([(0, 0, 1280, 960)], (960, 1280))
+    np.testing.assert_allclose(np.asarray(a), ref)
+
+    wh = staged_wh(1280, 960)
+    assert wh is staged_wh(1280, 960)
+    np.testing.assert_allclose(np.asarray(wh), [[1280.0, 960.0]])

@@ -155,10 +155,10 @@ class LayoutParser(BaseModule):
     def __call__(self, img, page=None):
         ori_h, ori_w = img.shape[:2]
         if page is not None:
-            from .ops.device_crop import region_mats
+            from .ops.device_crop import staged_page_mat
 
-            mats, _ = region_mats(
-                [(0, 0, ori_w, ori_h)], tuple(self._cfg.data.img_size)
+            mats = staged_page_mat(
+                (ori_h, ori_w), tuple(self._cfg.data.img_size)
             )
             preds = self.model.forward_from_page(
                 page.dev, mats, tuple(self._cfg.data.img_size)

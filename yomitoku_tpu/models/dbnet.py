@@ -324,15 +324,12 @@ class DBNet(JaxModel):
         wire map (value = prob*255) without the host float conversion —
         75+ ms for a 1280x960 page on a 1-core host; the native
         postprocessor and the visualizer consume it directly."""
-        from ..ops.device_crop import region_mats
+        from ..ops.device_crop import staged_page_mat
         from ..utils.stagetrace import segment
 
-        h, w = src_hw
-        mat, _ = region_mats([(0, 0, w, h)], out_hw)
+        mat = staged_page_mat(tuple(src_hw), tuple(out_hw))
         with segment(self.trace_stage, "dispatch"):
-            out = self._fwd_page(
-                self.dparams, page, jnp.asarray(mat), tuple(out_hw)
-            )
+            out = self._fwd_page(self.dparams, page, mat, tuple(out_hw))
         with segment(self.trace_stage, "sync", nbytes=out.nbytes):
             out = np.asarray(out)
         with segment(self.trace_stage, "unpack"):

@@ -21,6 +21,8 @@ scale >= 0.5, mild aliasing beyond — recognition-neutral; the host path
 remains available for exact parity via YOMITOKU_TPU_HOST_CROPS=1).
 """
 
+import functools as _functools
+
 import cv2
 import numpy as np
 
@@ -141,6 +143,30 @@ def region_mats(regions, out_hw):
         )
     valid = np.tile(np.int32([ow, oh]), (len(regions), 1))
     return mats, valid
+
+
+@_functools.lru_cache(maxsize=512)
+def staged_page_mat(page_hw, out_hw):
+    """Device-staged (1, 3, 3) affine for a full-page resize.
+
+    Page sizes repeat across a document (and the det /32 buckets quantize
+    them further), but re-uploading even the 36-byte mat per dispatch
+    costs a tunnel transfer ack (~18 ms of the 21.7 ms fused-dispatch
+    segment measured on the dev link).  Cache the committed device buffer
+    keyed by (page_hw, out_hw); entries are 36 bytes each."""
+    import jax.numpy as jnp
+
+    h, w = page_hw
+    mat, _ = region_mats([(0, 0, w, h)], out_hw)
+    return jnp.asarray(mat)
+
+
+@_functools.lru_cache(maxsize=512)
+def staged_wh(w, h):
+    """Device-staged (1, 2) float32 [[w, h]] (see staged_page_mat)."""
+    import jax.numpy as jnp
+
+    return jnp.asarray([[w, h]], jnp.float32)
 
 
 def device_crops_enabled() -> bool:

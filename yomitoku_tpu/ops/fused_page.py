@@ -24,7 +24,7 @@ from ..models.dbnet import DBNet
 from ..models.rtdetr import RTDETRv2
 from ..postprocessor.rtdetr_postprocessor import _topk_device
 from ..utils.stagetrace import segment
-from .device_crop import region_mats
+from .device_crop import staged_page_mat, staged_wh
 
 
 class FusedDetLayout:
@@ -60,14 +60,14 @@ class FusedDetLayout:
 
     def __call__(self, page, page_hw, det_out_hw, lay_out_hw):
         h, w = page_hw
-        det_mat, _ = region_mats([(0, 0, w, h)], det_out_hw)
-        lay_mat, _ = region_mats([(0, 0, w, h)], lay_out_hw)
-        orig_wh = jnp.asarray([[w, h]], jnp.float32)
+        det_mat = staged_page_mat(tuple(page_hw), tuple(det_out_hw))
+        lay_mat = staged_page_mat(tuple(page_hw), tuple(lay_out_hw))
+        orig_wh = staged_wh(w, h)
         with segment("det+layout", "dispatch"):
             wire = self._fn(
                 self.det.dparams, self.lay.dparams, page.dev,
-                jnp.asarray(det_mat), tuple(det_out_hw),
-                jnp.asarray(lay_mat), tuple(lay_out_hw), orig_wh,
+                det_mat, tuple(det_out_hw),
+                lay_mat, tuple(lay_out_hw), orig_wh,
             )
         with segment("det+layout", "sync", nbytes=wire.nbytes):
             arr = np.asarray(wire)
@@ -220,15 +220,15 @@ class FusedPageAnalysis:
 
     def __call__(self, page, page_hw, det_out_hw, lay_out_hw, tsr_out_hw):
         h, w = page_hw
-        det_mat, _ = region_mats([(0, 0, w, h)], det_out_hw)
-        lay_mat, _ = region_mats([(0, 0, w, h)], lay_out_hw)
-        orig_wh = jnp.asarray([[w, h]], jnp.float32)
+        det_mat = staged_page_mat(tuple(page_hw), tuple(det_out_hw))
+        lay_mat = staged_page_mat(tuple(page_hw), tuple(lay_out_hw))
+        orig_wh = staged_wh(w, h)
         with segment("det+layout+tsr", "dispatch"):
             wire = self._fn(
                 self.det.dparams, self.lay.dparams, self.tsr.dparams,
                 page.dev,
-                jnp.asarray(det_mat), tuple(det_out_hw),
-                jnp.asarray(lay_mat), tuple(lay_out_hw), tuple(tsr_out_hw),
+                det_mat, tuple(det_out_hw),
+                lay_mat, tuple(lay_out_hw), tuple(tsr_out_hw),
                 orig_wh,
             )
         with segment("det+layout+tsr", "sync", nbytes=wire.nbytes):
