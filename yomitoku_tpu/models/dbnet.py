@@ -281,11 +281,9 @@ class DBNet(JaxModel):
         bilinear ~ cv2 INTER_AREA) + standardize + DBNet forward.  The
         page buffer is shared with the other modules — only the prob map
         crosses back to the host."""
-        from ..ops.device_crop import sample_lines
+        from ..ops.separable_resize import sample_regions_separable
 
-        oh, ow = out_hw
-        valid = jnp.asarray([[ow, oh]], jnp.int32)
-        x = sample_lines(page, mat, valid, out_hw=out_hw, flip_bgr=False)
+        x = sample_regions_separable(page, mat, out_hw, flip_bgr=False)
         from ..data.functions import IMAGENET_MEAN, IMAGENET_STD
 
         mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0

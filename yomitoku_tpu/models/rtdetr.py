@@ -100,11 +100,9 @@ class RTDETRv2(JaxModel):
         """Fused device program: crop+resize the page regions (RGB,
         supersampled bilinear ~ the host's crop + cv2 INTER_AREA) and run
         the detector — the shared page buffer never leaves the device."""
-        from ..ops.device_crop import sample_lines
+        from ..ops.separable_resize import sample_regions_separable
 
-        oh, ow = out_hw
-        valid = jnp.tile(jnp.asarray([[ow, oh]], jnp.int32), (mats.shape[0], 1))
-        x = sample_lines(page, mats, valid, out_hw=out_hw, flip_bgr=True)
+        x = sample_regions_separable(page, mats, out_hw, flip_bgr=True)
         x = x.astype(self.dtype) * (1.0 / 255.0)
         return self.core.apply(params, x)
 

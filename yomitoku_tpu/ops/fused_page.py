@@ -145,8 +145,6 @@ class FusedPageAnalysis:
     @staticmethod
     def _fwd(self, det_params, lay_params, tsr_params, page, det_mat,
              det_hw, lay_mat, lay_hw, tsr_hw, orig_wh):
-        from .device_crop import sample_lines
-
         prob = DBNet._forward_from_page(
             self.det, det_params, page, det_mat, det_hw
         )
@@ -194,11 +192,9 @@ class FusedPageAnalysis:
             ],
             axis=1,
         )  # (K, 3, 3)
-        K = self.max_tables
-        crop_valid = jnp.tile(jnp.asarray([[ow, oh]], jnp.int32), (K, 1))
-        crops = sample_lines(
-            page, mats, crop_valid, out_hw=tsr_hw, flip_bgr=True
-        )
+        from .separable_resize import sample_regions_separable
+
+        crops = sample_regions_separable(page, mats, tsr_hw, flip_bgr=True)
         x = crops.astype(self.tsr.dtype) * (1.0 / 255.0)
         preds_t = self.tsr.core.apply(tsr_params, x)
         sizes_t = jnp.stack([x2 - x1, y2 - y1], axis=1)  # (K, 2) (w, h)
