@@ -437,10 +437,17 @@ def measure_practical_floor(stages, n_pages=9, depth=3):
         if kind == "sync"
     ]
 
-    up_bufs = [np.zeros((max(int(mb * 1e6), 8),), np.uint8) for mb in uploads]
+    # incompressible payloads: a compressing transport would make zero
+    # buffers fly and overstate the achievable floor
+    _rng = np.random.RandomState(0)
+    up_bufs = [
+        _rng.randint(0, 256, (max(int(mb * 1e6), 8),), dtype=np.uint8)
+        for mb in uploads
+    ]
     read_ns = [max(int(mb * 1e6), 8) for mb in reads]
+    # readbacks tile the (random) upload so they are incompressible too
     expand = {
-        n: jax.jit(lambda x, n=n: jnp.tile(x.reshape(-1)[:1], (n,)))
+        n: jax.jit(lambda x, n=n: jnp.resize(x.reshape(-1), (n,)))
         for n in read_ns
     }
 
