@@ -107,15 +107,40 @@ def _pin_analyzer(analyzer, img, quads, paragraphs, tables, figure_box,
     painted_cache = {}
 
     def _paint(shape):
+        """Painted map with realistic texture, not clean rectangles: each
+        line blob has per-pixel prob in [0.55, 0.95] and ragged 0-2 px
+        row indents (scores stay well above box_thresh=0.4), and ~150
+        speckle blobs in the column gutter sit at ~0.35 — above
+        thresh=0.3, so the contour pass labels, hulls, and scores them
+        before dropping every one below box_thresh, the way real DBNet
+        maps make the postprocessor work for its keep set."""
         if shape not in painted_cache:
+            rng = np.random.RandomState(7)
             _, hm, wm = shape
             sy, sx = hm / PAGE_H, wm / PAGE_W
             prob = np.zeros(shape, np.float32)
             for quad in quads:
                 x0, y0 = quad[0]
                 x1, y1 = quad[2]
-                prob[0, int(y0 * sy) + 2 : int(y1 * sy) - 2,
-                     int(x0 * sx) + 2 : int(x1 * sx) - 2] = 0.9
+                ya, yb = int(y0 * sy) + 2, int(y1 * sy) - 2
+                xa, xb = int(x0 * sx) + 2, int(x1 * sx) - 2
+                blob = rng.uniform(0.55, 0.95, (yb - ya, xb - xa)).astype(
+                    np.float32
+                )
+                indent = rng.randint(0, 3, (yb - ya, 2))
+                for r in range(yb - ya):
+                    blob[r, : indent[r, 0]] = 0.0
+                    blob[r, blob.shape[1] - indent[r, 1] :] = 0.0
+                prob[0, ya:yb, xa:xb] = blob
+            # gutter speckles (x in [452, 508) between the text columns)
+            gx0, gx1 = int(452 * sx), int(508 * sx)
+            for _ in range(150):
+                py = rng.randint(0, hm - 4)
+                px = rng.randint(gx0, max(gx1 - 4, gx0 + 1))
+                s = rng.randint(2, 5)
+                prob[0, py : py + s, px : px + s] = rng.uniform(
+                    0.32, 0.38, (s, s)
+                ).astype(np.float32)
             painted_cache[shape] = prob
         return painted_cache[shape]
 
