@@ -448,19 +448,20 @@ def measure_practical_floor(stages, n_pages=9, depth=3):
     import jax.numpy as jnp
     from concurrent.futures import ThreadPoolExecutor
 
-    # (upload_mb, readback_mb) per sync pair, from the stage table
-    uploads = [
-        seg.get("mb", 0.0)
-        for row in stages.values()
-        for kind, seg in row.items()
-        if kind == "upload"
-    ]
-    reads = [
-        seg.get("mb", 0.0)
-        for row in stages.values()
-        for kind, seg in row.items()
-        if kind == "sync"
-    ]
+    # per-page transfer events from the stage table: a row's mb/n are
+    # per-page totals over n events, so replay n transfers of mb/n each
+    # (a page with two rec sync events must pay two round trips)
+    def _events(kind_wanted):
+        out = []
+        for row in stages.values():
+            for kind, seg in row.items():
+                if kind == kind_wanted:
+                    n = max(int(round(seg.get("n", 1.0))), 1)
+                    out += [seg.get("mb", 0.0) / n] * n
+        return out
+
+    uploads = _events("upload")
+    reads = _events("sync")
 
     # incompressible payloads: a compressing transport would make zero
     # buffers fly and overstate the achievable floor

@@ -173,3 +173,36 @@ def test_csv_differential(ignore_line_break):
         ignore_line_break=ignore_line_break, export_figure=False,
     )
     assert our_rows == ref_rows
+
+
+def test_html_differential_table_starting_below_row1():
+    """A table whose first cell sits below row 1 (possible after span
+    filtering or with user-built schemas) must emit the reference's
+    leading empty <tr></tr> (its row accumulator starts at pre_row=1)."""
+    ref = _load("export_html")
+    cells = [
+        TableCellSchema(
+            row=r, col=1, row_span=1, col_span=1,
+            box=[50, 200 + r * 30, 98, 228 + r * 30], contents=f"c{r}",
+        )
+        for r in (2, 3)
+    ]
+    table = TableStructureRecognizerSchema(
+        box=[40, 220, 220, 320], n_row=3, n_col=1,
+        rows=[TableLineSchema(box=[40, 220, 220, 250], score=0.9)],
+        cols=[TableLineSchema(box=[40, 220, 100, 320], score=0.9)],
+        spans=[], cells=cells, order=1,
+    )
+    results = DocumentAnalyzerSchema(
+        paragraphs=[], tables=[table], figures=[], words=[]
+    )
+    ref_html, _ = ref.convert_html(
+        results, "/tmp/ref.html", ignore_line_break=False,
+        export_figure=False, export_figure_letter=False,
+    )
+    our_html, _ = ours_html(
+        results, "/tmp/our.html", ignore_line_break=False,
+        export_figure=False, export_figure_letter=False,
+    )
+    assert "<tr/>" in our_html  # the prettifier self-closes the empty row
+    assert our_html == ref_html

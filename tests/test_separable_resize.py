@@ -127,3 +127,54 @@ def test_mats_separable_rejects_rotated_quads():
     rot = base @ np.array([[c, s], [-s, c]]) + 64
     mats, _ = line_homographies([rot.tolist()], (32, 96))
     assert not mats_separable(mats)
+
+
+def test_bucket_padding_keeps_batch_separable():
+    """Identity-mat bucket padding (text_recognizer._infer_padded_page)
+    must not kick the batch off the separable program — zero-mat padding
+    regressed this (degenerate bottom row fails mats_separable)."""
+    from yomitoku_tpu.ops.device_crop import line_homographies
+    from yomitoku_tpu.ops.separable_resize import (
+        mats_separable,
+        sample_lines_separable,
+    )
+
+    mats, valid = line_homographies([_rect(4, 8, 90, 26)], (32, 96))
+    pad = 7
+    padded_mats = np.concatenate(
+        [mats, np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))]
+    )
+    padded_valid = np.concatenate([valid, np.zeros((pad, 2), np.int32)])
+    assert mats_separable(padded_mats)
+
+    page = _page(96, 128)
+    out = np.asarray(
+        sample_lines_separable(
+            jnp.asarray(page), jnp.asarray(padded_mats),
+            jnp.asarray(padded_valid), out_hw=(32, 96),
+        )
+    )
+    # padded lanes are fully masked to black
+    assert out[1:].sum() == 0
+    ref = np.asarray(
+        sample_lines(
+            jnp.asarray(page), jnp.asarray(mats), jnp.asarray(valid),
+            out_hw=(32, 96),
+        )
+    )
+    np.testing.assert_allclose(out[:1], ref, atol=2e-3)
+
+
+def test_chunk_remainder_regions():
+    # B=7 with chunk=4: 4 via lax.map + 3-tail; must match unchunked
+    rng = np.random.RandomState(5)
+    regions = []
+    for _ in range(7):
+        x1, y1 = rng.randint(0, 60, 2)
+        regions.append((x1, y1, x1 + rng.randint(4, 60), y1 + rng.randint(4, 30)))
+    _compare(_page(96, 128), regions, (16, 24))
+
+
+def test_chunk_remainder_lines():
+    quads = [_rect(2 + 6 * i, 3 + 2 * i, 50 + 6 * i, 17 + 2 * i) for i in range(11)]
+    _line_compare(quads)

@@ -19,6 +19,7 @@ its own jitted XLA program so the host threads just drive dispatch.
 import asyncio
 import math
 import re
+import threading
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -378,6 +379,7 @@ class DocumentAnalyzer:
         self.ignore_ruby = ignore_ruby
         self.ruby_threshold = ruby_threshold
         self.img = None  # reference-API compat attribute; never read
+        self._fused_page_lock = threading.Lock()
 
     def aggregate(self, ocr_res, layout_res):
         """Assign words to table cells and layout paragraphs, then order
@@ -499,19 +501,24 @@ class DocumentAnalyzer:
         det = self.text_detector
         lp = self.layout.layout_parser
         tsr = self.layout.table_structure_recognizer
+        # double-checked lock: batch() runs up to 3 concurrent pages, and
+        # an unguarded lazy init would build (and XLA-compile) the large
+        # fused program once per racing thread
         if getattr(self, "_fused_page_program", None) is None:
-            from .ops.fused_page import FusedPageAnalysis
+            with self._fused_page_lock:
+                if getattr(self, "_fused_page_program", None) is None:
+                    from .ops.fused_page import FusedPageAnalysis
 
-            table_label = next(
-                i for i, c in lp.label_mapper.items() if c == "tables"
-            )
-            self._fused_page_program = FusedPageAnalysis(
-                det.model, lp.model, tsr.model,
-                lay_top_k=lp.postprocessor.num_top_queries,
-                tsr_top_k=tsr.postprocessor.num_top_queries,
-                table_label=table_label,
-                lay_thresh=lp.thresh_score,
-            )
+                    table_label = next(
+                        i for i, c in lp.label_mapper.items() if c == "tables"
+                    )
+                    self._fused_page_program = FusedPageAnalysis(
+                        det.model, lp.model, tsr.model,
+                        lay_top_k=lp.postprocessor.num_top_queries,
+                        tsr_top_k=tsr.postprocessor.num_top_queries,
+                        table_label=table_label,
+                        lay_thresh=lp.thresh_score,
+                    )
 
         ori_h, ori_w = img.shape[:2]
         from .data.functions import shortest_edge_size

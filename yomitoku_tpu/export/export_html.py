@@ -43,6 +43,11 @@ def table_to_html(table, ignore_line_break):
         f"<tr>{''.join(td(c) for c in run)}</tr>"
         for _, run in groupby(table.cells, key=lambda c: c.row)
     ] or ["<tr></tr>"]
+    if table.cells and table.cells[0].row != 1:
+        # byte contract: the reference's row accumulator starts at row 1,
+        # so a table whose first cell sits below row 1 emits one leading
+        # empty row before the first populated one
+        rows.insert(0, "<tr></tr>")
     return {
         "box": table.box,
         "order": table.order,

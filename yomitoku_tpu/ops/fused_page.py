@@ -75,25 +75,11 @@ class FusedDetLayout:
         oh, ow = det_out_hw
         n_prob = oh * ow
         with segment("det", "unpack"):
-            prob_wire = arr[:n_prob]
-            if prob_wire.size and (oh % 4 == 0 and ow % 4 == 0) and (
-                self._prob_is_packed()
-            ):
-                prob_wire = prob_wire.reshape(1, oh // 4, ow // 4, 16)
-            else:
-                prob_wire = prob_wire.reshape(1, oh, ow)
-            # stays u8 (value = prob*255): the native postprocessor
-            # consumes the wire map directly (see _unpack_prob)
-            prob = self.det._unpack_u8(prob_wire)
+            prob = _unpack_prob(self.det, arr[:n_prob], det_out_hw)
         packed = (
             arr[n_prob:].view(np.float32).reshape(1, self.k, 6).copy()
         )
         return prob, packed
-
-    def _prob_is_packed(self) -> bool:
-        from ..models.dbnet import _use_packed_head
-
-        return _use_packed_head(None)
 
 
 def _unpack_prob(det_model, flat_u8, det_out_hw):

@@ -89,12 +89,15 @@ def sample_regions_separable(page, mats, out_hw, flip_bgr=True,
         t = jnp.einsum("hwc,bhi->biwc", pagef, wy, precision="highest")
         return jnp.einsum("biwc,bwj->bijc", t, wx, precision="highest")
 
-    if B <= chunk or B % chunk:
+    if B <= chunk:
         out = _resample(mats)
     else:
+        main = (B // chunk) * chunk
         out = jax.lax.map(
-            _resample, mats.reshape(B // chunk, chunk, 3, 3)
-        ).reshape(B, oh, ow, 3)
+            _resample, mats[:main].reshape(main // chunk, chunk, 3, 3)
+        ).reshape(main, oh, ow, 3)
+        if main < B:  # remainder tail keeps the memory bound too
+            out = jnp.concatenate([out, _resample(mats[main:])])
     if flip_bgr:
         out = out[..., ::-1]
     if valid_wh is not None:
@@ -154,16 +157,21 @@ def sample_lines_separable(page, mats, valid_wh, out_hw=(32, 800),
         )
         return jnp.where(mask[..., None], out, 0.0)
 
-    if B <= chunk or B % chunk:
+    if B <= chunk:
         out = _resample((mats, valid_wh))
     else:
+        main = (B // chunk) * chunk
         out = jax.lax.map(
             _resample,
             (
-                mats.reshape(B // chunk, chunk, 3, 3),
-                valid_wh.reshape(B // chunk, chunk, 2),
+                mats[:main].reshape(main // chunk, chunk, 3, 3),
+                valid_wh[:main].reshape(main // chunk, chunk, 2),
             ),
-        ).reshape(B, oh, ow, 3)
+        ).reshape(main, oh, ow, 3)
+        if main < B:  # remainder tail keeps the memory bound too
+            out = jnp.concatenate(
+                [out, _resample((mats[main:], valid_wh[main:]))]
+            )
     if flip_bgr:
         out = out[..., ::-1]
     return out

@@ -152,7 +152,13 @@ class TextRecognizer(BaseModule):
         target = bucket_batch_size(n, self._cfg.data.batch_size)
         if n < target:
             pad = target - n
-            mats = np.concatenate([mats, np.zeros((pad, 3, 3), np.float32)])
+            # pad with IDENTITY maps, not zeros: a zero homography has a
+            # degenerate bottom row, which would fail mats_separable and
+            # silently kick the whole batch off the separable MXU crop
+            # program (models/parseq.py forward_tokens_from_page)
+            mats = np.concatenate(
+                [mats, np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))]
+            )
             # zero extents mask the padded lanes to black crops
             valid_wh = np.concatenate([valid_wh, np.zeros((pad, 2), np.int32)])
         ids, probs = self.model.forward_tokens_from_page(page, mats, valid_wh)
