@@ -667,15 +667,15 @@ class DocumentAnalyzer:
             layout = reading_order_visualizer(layout, results)
         return results, ocr, layout
 
-    def batch(self, imgs, max_in_flight=3):
+    def batch(self, imgs, max_in_flight=4):
         """Pipelined multi-page analysis: up to ``max_in_flight`` pages
         run concurrently so one page's host stages (contours, crops,
         tokenizer, aggregation) overlap another page's device programs
         and transfers.  The jitted programs are shared (same compiled
-        executables); XLA queues their dispatches FIFO.  Depth 3
-        measured ~15 percent faster than 2 on the transfer-bound tunnel
-        (three-way overlap: upload / device / readback+host); deeper
-        pipelines regress (queue contention).
+        executables); XLA queues their dispatches FIFO.  Depth swept on
+        the transfer-bound tunnel after the round-3 host/device cuts:
+        3 = 186 ms/page, 4 = 169, 5 = 166, 6 = 220 (queue contention) —
+        4 balances the ~10% win against in-flight memory.
 
         Returns the list of (DocumentAnalyzerSchema, ocr_vis, layout_vis)
         in input order.  No multi-device requirement — this hides
