@@ -388,24 +388,28 @@ def run_device_composite():
     from yomitoku_tpu.models.rtdetr import RTDETRv2
     from yomitoku_tpu.utils.timing import device_time
 
+    def _best(fn, iters):
+        # min of 3 device_time windows: a single enqueue window can land
+        # on a tunnel hiccup (one capture read RT-DETR at 6.8 ms vs its
+        # stable 3.7)
+        return min(device_time(fn, iters=iters) for _ in range(3))
+
     rng = np.random.RandomState(0)
     det = DBNet(structured(TextDetectorDBNetV2_1Config))
     det.params = det.init_params(0)
     page = jnp.asarray(rng.randint(0, 255, (1, 1280, 960, 3), np.uint8))
-    det_s = device_time(lambda: det._fwd_u8(det.dparams, page), iters=30)
+    det_s = _best(lambda: det._fwd_u8(det.dparams, page), 30)
 
     lay = RTDETRv2(structured(LayoutParserRTDETRv2V2Config))
     lay.params = lay.init_params(0)
     tile = jnp.asarray(rng.randint(0, 255, (1, 640, 640, 3), np.uint8))
-    lay_s = device_time(lambda: lay._fwd(lay.dparams, tile), iters=30)
+    lay_s = _best(lambda: lay._fwd(lay.dparams, tile), 30)
 
     rec = PARSeq(structured(TextRecognizerPARSeqLargeV41Config))
     rec.params = rec.init_params(0)
     h, w = rec.core.img_size
     crops = jnp.asarray(rng.randint(0, 255, (128, h, w, 3), np.uint8))
-    rec_s = device_time(
-        lambda: rec._tokens_fn(rec.dparams, crops, True, 1), iters=10
-    )
+    rec_s = _best(lambda: rec._tokens_fn(rec.dparams, crops, True, 1), 10)
     return det_s, lay_s, rec_s
 
 
