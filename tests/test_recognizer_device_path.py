@@ -96,3 +96,33 @@ def test_device_path_orientation_fallback(monkeypatch):
     # keep the output surface intact
     out = rec(_page(), QUADS)[0]
     assert len(out.contents) == len(QUADS)
+
+
+def test_mixed_rotated_batch_partition(monkeypatch):
+    """One skewed quad in an otherwise axis-aligned batch must not change
+    results vs running the lines in any other composition — the
+    recognizer partitions the batch between the separable and gather
+    crop programs and merges per-line results back in input order."""
+    from yomitoku_tpu.text_recognizer import TextRecognizer
+
+    rec = TextRecognizer(model_name="parseq-tiny", device="cpu")
+    monkeypatch.setattr(
+        TextRecognizer, "_use_device_crops", lambda self: True
+    )
+    img = _page()
+    # two aligned, one vertical (anti-aligned), one skewed (gather)
+    quads = [
+        [[50, 60], [400, 60], [400, 95], [50, 95]],
+        [[100, 150], [130, 150], [130, 420], [100, 420]],
+        [[200, 200], [600, 210], [598, 250], [198, 240]],
+        [[60, 300], [420, 300], [420, 340], [60, 340]],
+    ]
+    res_mixed = rec(img, points=quads)
+    # per-line decodes are batch-independent: singleton runs are the oracle
+    for i, q in enumerate(quads):
+        res_one = rec(img, points=[q])
+        assert res_mixed[0].contents[i] == res_one[0].contents[0]
+        np.testing.assert_allclose(
+            res_mixed[0].scores[i], res_one[0].scores[0], rtol=1e-4
+        )
+        assert res_mixed[0].directions[i] == res_one[0].directions[0]

@@ -165,6 +165,34 @@ class TextRecognizer(BaseModule):
         return ids[:n], probs[:n]
 
     def _run_batch_inference_page(self, page, mats, valid_wh, points):
+        """Route each line to the right crop program, then decode in
+        batch-bucket chunks.
+
+        models/parseq.py picks the separable MXU crop program only when
+        EVERY map in the batch is axis-(anti-)aligned, so one skewed
+        minAreaRect quad (a rotated stamp on an otherwise digital page)
+        would kick all ~100 lines onto the 163 ms gather.  Partition
+        instead: aligned lines run separable, the rotated minority runs
+        the gather in its own (small) bucket, and results merge back in
+        input order — per-line decodes are batch-independent, so the
+        split changes nothing semantically."""
+        from .ops.separable_resize import mats_separable
+
+        n = len(mats)
+        rot = [i for i in range(n) if not mats_separable(mats[i : i + 1])]
+        if rot and len(rot) < n:
+            sep = sorted(set(range(n)) - set(rot))
+            preds, scores, directions = [None] * n, [None] * n, [None] * n
+            for idx in (sep, rot):
+                p, s, d = self._run_batch_chunks(
+                    page, mats[idx], valid_wh[idx], [points[i] for i in idx]
+                )
+                for j, i in enumerate(idx):
+                    preds[i], scores[i], directions[i] = p[j], s[j], d[j]
+            return preds, scores, directions
+        return self._run_batch_chunks(page, mats, valid_wh, points)
+
+    def _run_batch_chunks(self, page, mats, valid_wh, points):
         from .utils.stagetrace import segment
 
         preds, scores, directions = [], [], []
