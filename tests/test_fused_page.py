@@ -179,3 +179,90 @@ def test_fused_slots_match_without_fallback(monkeypatch):
     results, _, _ = analyzer(img)
     assert hasattr(results, "tables")
     assert not calls, "fused TSR slots missed; fallback dispatched"
+
+
+def test_fused_fallback_merge_beyond_max_tables(monkeypatch):
+    """Kept tables beyond the fused program's max_tables slots must run
+    through the chunked fallback region path and merge into the SAME
+    result the threaded pipeline produces."""
+    import yomitoku_tpu.ops.device_crop as dc
+    from yomitoku_tpu.document_analyzer import DocumentAnalyzer
+
+    monkeypatch.setattr(dc, "device_crops_enabled", lambda: True)
+    analyzer = DocumentAnalyzer(
+        configs={
+            "ocr": {
+                "text_detector": {
+                    "path_cfg": "tests/yaml/det_small.yaml",
+                    "from_pretrained": False,
+                },
+                "text_recognizer": {
+                    "path_cfg": "tests/yaml/rec_small.yaml",
+                    "from_pretrained": False,
+                },
+            },
+            "layout_analyzer": {
+                "layout_parser": {
+                    "path_cfg": "tests/yaml/layout_small.yaml",
+                    "from_pretrained": False,
+                },
+                "table_structure_recognizer": {
+                    "path_cfg": "tests/yaml/layout_small.yaml",
+                    "from_pretrained": False,
+                },
+            },
+        },
+        device="cpu",
+    )
+    lp = analyzer.layout.layout_parser
+    real_filtering = lp.filtering_elements
+
+    def six_tables(preds):
+        out = real_filtering(preds)
+        tables = []
+        for i in range(6):  # 6 kept > max_tables=4 slots
+            dx = (i % 3) * 70
+            dy = (i // 3) * 60
+            tables.append({
+                "id": f"t{i}", "contents": None, "role": None, "score": 0.9,
+                "box": [10 + dx, 10 + dy, 75 + dx, 60 + dy],
+            })
+        out["tables"] = tables
+        return out
+
+    lp.filtering_elements = six_tables
+
+    calls = []
+    orig = dc.dispatch_regions_from_page
+
+    def spy(*a, **k):
+        calls.append(len(a[2]) if len(a) > 2 else 1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(dc, "dispatch_regions_from_page", spy)
+
+    # prove the merge fills a filtered entry for every kept table (the
+    # final schema drops tables whose random-weight TSR output has no
+    # rows/cols — identically on both paths)
+    tsr = analyzer.layout.table_structure_recognizer
+    merged_counts = []
+    real_tff = tsr.tables_from_filtered
+
+    def spy_tff(data, filtered):
+        merged_counts.append(
+            (len(data), sum(f is None for f in filtered))
+        )
+        return real_tff(data, filtered)
+
+    tsr.tables_from_filtered = spy_tff
+
+    img = _page(160, 240, seed=11)
+    monkeypatch.setenv("YOMITOKU_TPU_NO_FUSED_PAGE", "1")
+    threaded, _, _ = analyzer(img)
+    monkeypatch.delenv("YOMITOKU_TPU_NO_FUSED_PAGE")
+    calls.clear()
+    merged_counts.clear()
+    fused, _, _ = analyzer(img)
+    assert calls, "expected the fallback region path for tables beyond the slots"
+    assert merged_counts == [(6, 0)], merged_counts  # all 6 merged, no holes
+    assert fused.model_dump() == threaded.model_dump()
