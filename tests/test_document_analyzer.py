@@ -181,3 +181,21 @@ def test_document_analyzer_end_to_end_small(analyzer):
 
     md, _ = convert_markdown(results, out_path=None, img=img, export_figure=False)
     assert isinstance(md, str)
+
+
+def test_edge_input_shapes(analyzer, monkeypatch):
+    """Degenerate page shapes must flow through the full accelerator-path
+    pipeline (device crops forced) without raising: tiny pages, 1x1, and
+    extreme aspect ratios exercise the /32 det buckets, padding, and the
+    separable crop programs at their boundaries."""
+    import yomitoku_tpu.ops.device_crop as dc
+
+    monkeypatch.setattr(dc, "device_crops_enabled", lambda: True)
+    rng = np.random.RandomState(0)
+    for img in (
+        rng.randint(0, 255, (8, 8, 3), np.uint8),
+        np.zeros((1, 1, 3), np.uint8),
+        rng.randint(0, 255, (4, 300, 3), np.uint8),
+    ):
+        results, _, _ = analyzer(img)
+        assert hasattr(results, "words")
