@@ -497,9 +497,55 @@ def measure_practical_floor(stages, n_pages=9, depth=3):
     return (time.perf_counter() - t0) / n_pages * 1e3
 
 
+def _wait_for_device(max_wait_s=None):
+    """Bounded device probe: the dev tunnel sometimes wedges for ~30 min
+    and then even jax.devices() hangs indefinitely.  Probe enumeration in
+    a daemon thread with a timeout, retrying up to max_wait_s
+    (YOMITOKU_TPU_BENCH_DEVICE_WAIT_S, default 900); if the device never
+    appears, emit an explicit error JSON line and exit instead of
+    hanging the driver."""
+    import threading
+
+    if max_wait_s is None:
+        max_wait_s = int(
+            os.environ.get("YOMITOKU_TPU_BENCH_DEVICE_WAIT_S", "900")
+        )
+    import jax
+
+    deadline = time.time() + max_wait_s
+    while True:
+        got = []
+        t = threading.Thread(
+            target=lambda: got.append(jax.devices()), daemon=True
+        )
+        t.start()
+        t.join(60)
+        if got:
+            return got[0]
+        if time.time() >= deadline:
+            print(
+                json.dumps(
+                    {
+                        "metric": "doc_analyzer_e2e_pages_per_sec",
+                        "value": 0.0,
+                        "unit": "pages/sec",
+                        "vs_baseline": 0.0,
+                        "detail": {
+                            "error": (
+                                "device tunnel unavailable: jax.devices() "
+                                f"did not return within {max_wait_s}s"
+                            )
+                        },
+                    }
+                )
+            )
+            sys.exit(0)
+
+
 def main():
     from yomitoku_tpu.base import enable_compilation_cache
 
+    _wait_for_device()
     enable_compilation_cache()
 
     link_lat_ms, link_bw_mbs = measure_link()
