@@ -441,8 +441,8 @@ def measure_practical_floor(stages, n_pages=9, depth=3):
     """Achievable per-page wall ms for the pipeline's TRANSFER schedule
     alone: the same per-page uploads/readbacks (byte-for-byte, sync-for-
     sync, taken from the measured stage table) driven by trivial device
-    programs with zero host work, through the same depth-3 thread
-    pipeline as DocumentAnalyzer.batch.
+    programs with zero host work, through a thread pipeline at the same
+    depth DocumentAnalyzer.batch uses (passed in by main()).
 
     Reading the gaps: e2e - practical floor = framework overhead
     (host compute + device compute + imperfect overlap); practical floor
@@ -513,16 +513,31 @@ def _wait_for_device(max_wait_s=None):
     import jax
 
     deadline = time.time() + max_wait_s
+    errs = []
+
+    def _probe(out):
+        try:
+            out.append(jax.devices())
+        except Exception as e:  # fast failure, not a hang — pace retries
+            errs.append(e)
+
     while True:
         got = []
-        t = threading.Thread(
-            target=lambda: got.append(jax.devices()), daemon=True
-        )
+        t = threading.Thread(target=_probe, args=(got,), daemon=True)
+        t0 = time.time()
         t.start()
-        t.join(60)
+        t.join(max(min(60.0, deadline - time.time()), 0.1))
         if got:
             return got[0]
+        if not t.is_alive():
+            # backend errored instead of hanging; don't spin
+            time.sleep(max(0.0, 5.0 - (time.time() - t0)))
         if time.time() >= deadline:
+            reason = (
+                f"jax.devices() raised {errs[-1]!r}"
+                if errs
+                else f"jax.devices() did not return within {max_wait_s}s"
+            )
             print(
                 json.dumps(
                     {
@@ -531,15 +546,12 @@ def _wait_for_device(max_wait_s=None):
                         "unit": "pages/sec",
                         "vs_baseline": 0.0,
                         "detail": {
-                            "error": (
-                                "device tunnel unavailable: jax.devices() "
-                                f"did not return within {max_wait_s}s"
-                            )
+                            "error": "device unavailable: " + reason
                         },
                     }
                 )
             )
-            sys.exit(0)
+            sys.exit(3)
 
 
 def main():
@@ -564,7 +576,13 @@ def main():
         if kind in ("sync", "upload")
     )
     link_floor_ms = total_mb / max(link_bw_mbs, 1e-6) * 1e3 + syncs * link_lat_ms
-    practical_floor_ms = measure_practical_floor(stages)
+    # replay the floor at the SAME pipeline depth batch() actually uses
+    import inspect
+
+    from yomitoku_tpu.document_analyzer import DocumentAnalyzer as _DA
+
+    depth = inspect.signature(_DA.batch).parameters["max_in_flight"].default
+    practical_floor_ms = measure_practical_floor(stages, depth=depth)
 
     det_s, lay_s, rec_s = run_device_composite()
     device_page_s = det_s + 3 * lay_s + rec_s

@@ -177,23 +177,30 @@ def sample_lines_separable(page, mats, valid_wh, out_hw=(32, 800),
     return out
 
 
-def mats_separable(mats, tol=1e-5):
-    """Host-side eligibility check for sample_lines_separable: every map
-    in (B, 3, 3) ndarray ``mats`` must be axis-aligned OR anti-aligned
-    (one of each row's two linear terms ~zero) with an identity bottom
-    row.  Line homographies satisfy this whenever the source quad is an
+def mats_separable_mask(mats, tol=1e-5):
+    """Host-side per-map eligibility for sample_lines_separable: a (B,)
+    bool mask, True where the map is axis-aligned OR anti-aligned (one
+    of each row's two linear terms ~zero) with an identity bottom row.
+    Line homographies satisfy this whenever the source quad is an
     unrotated rectangle — the overwhelmingly common case for digitally-
     rendered documents (in either text direction); camera scans with
-    skewed minAreaRect quads return False and keep the gather program."""
+    skewed minAreaRect quads get False and keep the gather program."""
     import numpy as np
 
     m = np.asarray(mats)
     if m.size == 0:
-        return True
+        return np.zeros((0,), bool)
     persp = (
         np.abs(m[:, 2, 0]) + np.abs(m[:, 2, 1]) + np.abs(m[:, 2, 2] - 1.0)
     )
     scale = np.abs(m[:, :2, :2]).max(axis=(1, 2)) + 1e-12
     aligned = (np.abs(m[:, 0, 1]) + np.abs(m[:, 1, 0])) / scale < tol
     anti = (np.abs(m[:, 0, 0]) + np.abs(m[:, 1, 1])) / scale < tol
-    return bool(((aligned | anti) & (persp < tol)).all())
+    return (aligned | anti) & (persp < tol)
+
+
+def mats_separable(mats, tol=1e-5):
+    """True when EVERY map in (B, 3, 3) ``mats`` is separable — the
+    whole-batch gate used by the jitted program selection (see
+    mats_separable_mask for the per-map predicate)."""
+    return bool(mats_separable_mask(mats, tol).all())

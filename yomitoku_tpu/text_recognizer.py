@@ -176,10 +176,11 @@ class TextRecognizer(BaseModule):
         the gather in its own (small) bucket, and results merge back in
         input order — per-line decodes are batch-independent, so the
         split changes nothing semantically."""
-        from .ops.separable_resize import mats_separable
+        from .ops.separable_resize import mats_separable_mask
 
         n = len(mats)
-        rot = [i for i in range(n) if not mats_separable(mats[i : i + 1])]
+        sep_mask = mats_separable_mask(mats)
+        rot = [i for i in range(n) if not sep_mask[i]]
         if rot and len(rot) < n:
             sep = sorted(set(range(n)) - set(rot))
             preds, scores, directions = [None] * n, [None] * n, [None] * n
