@@ -172,11 +172,16 @@ def staged_wh(w, h):
 def device_crops_enabled() -> bool:
     """Device-side crops/resizes are the default on real accelerators;
     the host cv2 path remains the exact-parity reference (and the faster
-    choice on the CPU backend).  YOMITOKU_TPU_HOST_CROPS=1 forces host."""
+    choice on the CPU backend).  YOMITOKU_TPU_HOST_CROPS=1 forces host;
+    YOMITOKU_TPU_DEVICE_CROPS=1 forces device even on the CPU backend
+    (multi-chip dryruns exercise the fused/device-crop programs on a
+    virtual CPU mesh)."""
     import os
 
     if os.environ.get("YOMITOKU_TPU_HOST_CROPS"):
         return False
+    if os.environ.get("YOMITOKU_TPU_DEVICE_CROPS"):
+        return True
     try:
         return jax.devices()[0].platform != "cpu"
     except Exception:

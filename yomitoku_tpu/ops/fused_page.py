@@ -98,7 +98,10 @@ def _unpack_prob(det_model, flat_u8, det_out_hw):
 
 
 class FusedPageAnalysis:
-    """det + layout + TSR in ONE device program / ONE readback.
+    """det + layout + a per-table region model in ONE device program /
+    ONE readback.  DocumentAnalyzer fuses the TableStructureRecognizer;
+    TableSemanticParser reuses the same program shape with the
+    CellDetector (2500-query RT-DETR) as the region model.
 
     The host only learns which boxes are tables after the layout
     readback — a round trip the TSR dispatch then trails by.  Instead
@@ -117,10 +120,12 @@ class FusedPageAnalysis:
     """
 
     def __init__(self, det_model, lay_model, tsr_model, lay_top_k,
-                 tsr_top_k, table_label, lay_thresh, max_tables=4):
+                 tsr_top_k, table_label, lay_thresh, max_tables=4,
+                 trace_label="det+layout+tsr"):
         self.det = det_model
         self.lay = lay_model
         self.tsr = tsr_model
+        self.trace_label = trace_label
         self.lay_k = int(lay_top_k)
         self.tsr_k = int(tsr_top_k)
         self.table_label = int(table_label)
@@ -205,7 +210,7 @@ class FusedPageAnalysis:
         det_mat = staged_page_mat(tuple(page_hw), tuple(det_out_hw))
         lay_mat = staged_page_mat(tuple(page_hw), tuple(lay_out_hw))
         orig_wh = staged_wh(w, h)
-        with segment("det+layout+tsr", "dispatch"):
+        with segment(self.trace_label, "dispatch"):
             wire = self._fn(
                 self.det.dparams, self.lay.dparams, self.tsr.dparams,
                 page.dev,
@@ -213,7 +218,7 @@ class FusedPageAnalysis:
                 lay_mat, tuple(lay_out_hw), tuple(tsr_out_hw),
                 orig_wh,
             )
-        with segment("det+layout+tsr", "sync", nbytes=wire.nbytes):
+        with segment(self.trace_label, "sync", nbytes=wire.nbytes):
             arr = np.asarray(wire)
 
         oh, ow = det_out_hw

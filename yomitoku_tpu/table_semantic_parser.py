@@ -9,6 +9,7 @@ clusters (>=2 rows and >=2 cols of hard adjacency) -> grid parser, others
 """
 
 import asyncio
+import threading
 from collections import defaultdict
 from concurrent.futures import ThreadPoolExecutor
 
@@ -297,6 +298,8 @@ class TableSemanticParser:
         self.text_recognizer = TextRecognizer(**text_recognizer_kwargs)
         self.visualize = visualize
         self.merge_same_column_values = False
+        self._fused_page_program = None
+        self._fused_page_lock = threading.Lock()
 
     def aggregate(self, ocr_res, cells, overlap_th=0.2):
         """Assign each word to its best-overlap cell (reference :471),
@@ -357,10 +360,134 @@ class TableSemanticParser:
                 new_table_list.append(table)
         return new_table_list
 
+    @staticmethod
+    def _fused_page_enabled():
+        import os
+
+        return not os.environ.get("YOMITOKU_TPU_NO_FUSED_PAGE")
+
+    def _run_fused_models(self, img, page):
+        """Single-dispatch semantic page path: det, layout, AND the
+        CellDetector's 2500-query table crops run as ONE device program
+        with ONE readback (ops.fused_page.FusedPageAnalysis with the
+        cell model in the region slot) — the reference chains
+        detector/layout readbacks into a CellDetector dispatch into
+        another readback (yomitoku/table_semantic_parser.py:542-563);
+        here the program itself selects the table-classified layout
+        detections and crops them on device, so the page costs one
+        fused sync plus the recognizer's.  Tables the slots missed
+        (more than max_tables, or host-side dedup disagreements) fall
+        back to the chunked region path, overlapped with the contour
+        pass."""
+        from .ops.device_crop import (
+            collect_filtered_regions,
+            dispatch_regions_from_page,
+        )
+        from .schemas import LayoutParserSchema, TextDetectorSchema
+        from .schemas.table_semantic_parser import TableDetectorSchema
+        from .utils.stagetrace import segment
+
+        det = self.text_detector
+        lp = self.layout_parser
+        cell = self.cell_detector
+        if self._fused_page_program is None:
+            with self._fused_page_lock:
+                if self._fused_page_program is None:
+                    from .ops.fused_page import FusedPageAnalysis
+
+                    table_label = next(
+                        i for i, c in lp.label_mapper.items() if c == "tables"
+                    )
+                    self._fused_page_program = FusedPageAnalysis(
+                        det.model, lp.model, cell.model,
+                        lay_top_k=lp.postprocessor.num_top_queries,
+                        tsr_top_k=cell.postprocessor.num_top_queries,
+                        table_label=table_label,
+                        lay_thresh=lp.thresh_score,
+                        trace_label="det+layout+cell",
+                    )
+
+        ori_h, ori_w = img.shape[:2]
+        from .data.functions import shortest_edge_size
+
+        det_hw = shortest_edge_size(
+            ori_h, ori_w,
+            det._cfg.data.shortest_size, det._cfg.data.limit_size,
+        )
+        cell_hw = tuple(cell._cfg.data.img_size)
+        prob, packed, packed_c, sel, sel_valid = self._fused_page_program(
+            page, page.hw, det_hw, tuple(lp._cfg.data.img_size), cell_hw
+        )
+        outputs = lp.postprocessor.filter_packed(
+            packed, [[ori_w, ori_h]], lp.thresh_score
+        )
+        results_layout = LayoutParserSchema(**lp.filtering_elements(outputs[0]))
+
+        # match each kept table to its device slot by the (identically
+        # truncated+clamped) box; misses fall back to region dispatch
+        tables = list(results_layout.tables)
+        cell_data = cell._preprocess_meta(img, tables)
+        slot_of = {
+            tuple(sel[j]): j for j in range(len(sel_valid)) if sel_valid[j]
+        }
+        filtered = [None] * len(cell_data)
+        missing_idx, missing_data = [], []
+        for i, d in enumerate(cell_data):
+            x1, y1 = d["offset"]
+            hh, ww = d["size"]
+            j = slot_of.pop((x1, y1, x1 + ww, y1 + hh), None)
+            if j is None:
+                missing_idx.append(i)
+                missing_data.append(d)
+            else:
+                filtered[i] = cell.postprocessor.filter_packed(
+                    packed_c[j], [[ww, hh]], cell.thresh_score
+                )[0]
+        chunks = (
+            dispatch_regions_from_page(cell.model, page, missing_data, cell_hw)
+            if missing_data
+            else []
+        )
+
+        with segment("det", "contours"):
+            quads, scores = det.postprocess({"binary": prob}, (ori_h, ori_w))
+        results_det = TextDetectorSchema(points=quads, scores=scores)
+
+        if missing_data:
+            for i, one in zip(
+                missing_idx,
+                collect_filtered_regions(
+                    chunks, cell.postprocessor, cell.thresh_score
+                ),
+            ):
+                filtered[i] = one
+
+        results_table = []
+        for one, (d, table) in zip(filtered, zip(cell_data, tables)):
+            cells = cell.postprocess(one, d, table.box)
+            if len(cells) == 0:
+                continue
+            results_table.append(
+                TableDetectorSchema(
+                    id=None, box=table.box, role=table.role, cells=cells
+                )
+            )
+        results_table = self.replace_table_to_paragraphs(
+            results_table, results_layout.paragraphs
+        )
+
+        results_rec, _ = self.text_recognizer(
+            img, results_det.points, page=page
+        )
+        results_ocr = OCRSchema(words=ocr_aggregate(results_det, results_rec))
+        return results_ocr, results_table, results_layout.paragraphs
+
     async def run_models(self, img):
         from .ops.device_crop import DevicePage, device_crops_enabled
 
         page = DevicePage(img) if device_crops_enabled() else None
+        if page is not None and self._fused_page_enabled():
+            return self._run_fused_models(img, page)
         with ThreadPoolExecutor(max_workers=2) as executor:
             loop = asyncio.get_running_loop()
             tasks = [
