@@ -30,12 +30,23 @@ def process_single_file(file_path, args, tsp, schema):
     if args.pages is not None:
         target_pages = parse_pages(args.pages)
 
-    for page, img in enumerate(imgs):
-        if (page + 1) not in target_pages:
-            continue
-        logger.info(f"Processing page {page + 1}...")
+    selected = [
+        (page, img)
+        for page, img in enumerate(imgs)
+        if (page + 1) in target_pages
+    ]
+    # pipeline the semantic pass over pages; the (network-bound) LLM
+    # extraction and saving stay sequential
+    start_all = time.time()
+    outputs = tsp.batch([img for _, img in selected])
+    logger.info(
+        f"Parsed {len(selected)} page(s) in {time.time() - start_all:.2f}s"
+    )
+
+    for (page, img), (semantic_info, vis_layout, vis_ocr) in zip(
+        selected, outputs
+    ):
         start = time.time()
-        semantic_info, vis_layout, vis_ocr = tsp(img)
 
         if args.vis and vis_layout is not None:
             save_image(

@@ -538,6 +538,29 @@ class TableSemanticParser:
                 )
         return vis
 
+    def batch(self, imgs, max_in_flight=4, template=None, grid_only=False,
+              kv_only=False):
+        """Pipelined multi-page semantic parsing: up to ``max_in_flight``
+        pages run concurrently so one page's host stages (contours, cell
+        postprocess + hole mining, clustering, grid/kv parse) overlap
+        another page's device programs and transfers — the same schedule
+        DocumentAnalyzer.batch uses (its depth-4 sweep applies: the
+        device programs are shared compiled executables and XLA queues
+        dispatches FIFO).  Returns (semantic_info, vis_layout, vis_ocr)
+        per page in input order."""
+        if not imgs:
+            return []
+        with ThreadPoolExecutor(max_workers=max_in_flight) as executor:
+            return list(
+                executor.map(
+                    lambda im: self(
+                        im, template=template, grid_only=grid_only,
+                        kv_only=kv_only,
+                    ),
+                    imgs,
+                )
+            )
+
     def __call__(self, img, template=None, id=None, grid_only=False, kv_only=False):
         results_ocr, results_table, paragraphs = asyncio.run(self.run_models(img))
 
