@@ -32,6 +32,8 @@ model's own init tree.  Any unmapped, missing, or misshapen key fails.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from yomitoku_tpu.config import structured
 
 
@@ -389,6 +391,7 @@ def test_parseq_mirror_matches_inventory():
 
 def test_dbnet_mirror_matches_inventory():
     torch = pytest.importorskip("torch")  # noqa: F841
+
     from yomitoku_tpu.configs import TextDetectorDBNetV2_1Config
     from tests.torch_ref.dbnet_torch import DBNetTorch
 

@@ -7,6 +7,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from yomitoku_tpu.cli import main as cli_main
 
 DATA = "/root/reference/tests/data"

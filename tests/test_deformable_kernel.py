@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from yomitoku_tpu.models.layers.rtdetr_decoder import (
     bilinear_sample_zeros,  # noqa: F401  (sanity import)
     deformable_attention_core,

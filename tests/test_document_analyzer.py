@@ -5,6 +5,8 @@ end-to-end run with random weights."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from yomitoku_tpu.document_analyzer import (
     DocumentAnalyzer,
     _split_text_across_cells,

@@ -9,6 +9,8 @@ import pytest
 
 jax = pytest.importorskip("jax")
 
+pytestmark = pytest.mark.slow
+
 import bench  # noqa: E402  (repo root on sys.path via conftest)
 from yomitoku_tpu.document_analyzer import DocumentAnalyzer  # noqa: E402
 

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from yomitoku_tpu.ops.pallas.flash_attention import (
     fused_attention,
     fused_attention_reference,

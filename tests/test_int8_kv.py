@@ -10,7 +10,7 @@ import pytest
 
 jax = pytest.importorskip("jax")
 
-pytestmark = pytest.mark.perf_optin
+pytestmark = [pytest.mark.perf_optin, pytest.mark.slow]
 import jax.numpy as jnp  # noqa: E402
 
 from yomitoku_tpu.config import structured  # noqa: E402

@@ -2,6 +2,10 @@
 spatial config (random weights), and the containment filtering rules
 (reference layout_parser.py:28-75)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 from yomitoku_tpu.layout_parser import (

@@ -7,6 +7,8 @@ import types
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mcp_server(tmp_path_factory):

@@ -5,6 +5,8 @@ and shape bugs across the whole model matrix without weights."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from yomitoku_tpu.config import structured
 
 

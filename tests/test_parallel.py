@@ -16,9 +16,12 @@ from yomitoku_tpu.parallel import (
     shard_params,
 )
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs 8 virtual devices"
+    ),
+]
 
 
 def _tiny_parseq():

@@ -1,6 +1,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from yomitoku_tpu.config import structured
 from yomitoku_tpu.configs import TextRecognizerPARSeqTinyConfig
 

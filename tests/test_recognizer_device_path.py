@@ -6,6 +6,8 @@ import numpy as np
 import pytest
 
 jax = pytest.importorskip("jax")
+
+pytestmark = pytest.mark.slow
 import jax.numpy as jnp  # noqa: E402
 
 from yomitoku_tpu.ops.device_crop import (  # noqa: E402

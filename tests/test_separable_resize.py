@@ -1,6 +1,10 @@
 """sample_regions_separable must match sample_lines exactly (to float
 association) on every axis-aligned map shape the pipeline produces."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax.numpy as jnp
 

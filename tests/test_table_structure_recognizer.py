@@ -1,6 +1,10 @@
 """TableStructureRecognizer: cell extraction / span merge unit tests
 (reference table_structure_recognizer.py:27-86) + small e2e."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 from yomitoku_tpu.table_structure_recognizer import (
