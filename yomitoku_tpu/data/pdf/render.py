@@ -9,9 +9,11 @@ quantized transform).
 
 Supported: q/Q/cm/gs(alpha), path construction + fill (nonzero/evenodd) +
 stroke + clip, text (Type0 CID fonts w/ Identity-H|V, simple
-Type1C/TrueType), image XObjects (DCT/Flate, gray/rgb/cmyk/indexed,
-image masks, SMask alpha), form XObjects.  Shadings and patterns paint
-nothing (rare in document scans).
+Type1C/TrueType), image XObjects (DCT/JPX/Flate/CCITT G3+G4 fax,
+gray/rgb/cmyk/indexed, image masks, SMask alpha), form XObjects.
+Shadings and shading patterns paint their average colour (flat
+approximation — keeps gradient backgrounds from rendering as holes);
+tiling patterns and JBIG2 images are skipped with a warning.
 """
 
 import struct
@@ -20,9 +22,17 @@ import zlib
 import cv2
 import numpy as np
 
+from ...utils.logger import set_logger
 from .cos import Keyword, Name, Parser, Stream
-from .filters import decode_stream
+from .filters import IMAGE_FILTERS, decode_stream
 from .fonts import CFFFont, TrueTypeFont
+
+logger = set_logger(__name__)
+
+# Image filters whose data stays encoded through decode_stream.  Every member
+# must be consumed by a dedicated branch in _decode_image before the raw-pixel
+# path; anything left over is skipped loudly rather than misread as pixels.
+_ENCODED_IMAGE_FILTERS = IMAGE_FILTERS
 
 
 # ------------------------------------------------------------------ helpers
@@ -535,11 +545,32 @@ class PageRenderer:
                         col = tuple(nums)
                     elif len(nums) == 1:
                         col = (nums[0],) * 3
+                    # Shading patterns approximate to their average colour.
+                    pat_col = None
+                    if op in ("scn", "SCN") and stack and isinstance(
+                        stack[-1], Name
+                    ):
+                        pats = doc.resolve(resources.get(Name("Pattern"))) or {}
+                        pat = doc.resolve(pats.get(stack[-1]))
+                        pd = (
+                            pat.dict if isinstance(pat, Stream)
+                            else pat if isinstance(pat, dict) else None
+                        )
+                        if pd is not None and int(
+                            doc.resolve(pd.get(Name("PatternType"), 1)) or 1
+                        ) == 2:
+                            pat_col = self._shading_avg_color(
+                                doc.resolve(pd.get(Name("Shading")))
+                            )
                     if op in ("sc", "scn"):
-                        state.fill = col
-                        state.fill_is_pattern = len(nums) == 0
+                        if pat_col is not None:
+                            state.fill = pat_col
+                            state.fill_is_pattern = False
+                        else:
+                            state.fill = col
+                            state.fill_is_pattern = len(nums) == 0
                     else:
-                        state.stroke = col
+                        state.stroke = pat_col or col
 
                 # ---- path construction
                 elif op == "m":
@@ -706,7 +737,15 @@ class PageRenderer:
                 elif op == "BI":
                     p = self._skip_inline_image(p)
                 elif op in ("sh",):
-                    pass
+                    # Paint the clip region with the shading's average colour
+                    # (a flat approximation: gradient backgrounds otherwise
+                    # render as holes that perturb detection).
+                    shs = doc.resolve(resources.get(Name("Shading"))) or {}
+                    shd = doc.resolve(shs.get(stack[-1])) if stack else None
+                    if shd is not None:
+                        col = self._shading_avg_color(shd)
+                        if col is not None:
+                            self._paint_region(col, state)
             except Exception:
                 pass
 
@@ -853,7 +892,173 @@ class PageRenderer:
         region *= 1.0 - sub
         region += sub * col
 
+    # -- shadings ---------------------------------------------------------
+
+    def _eval_function(self, fn, t):
+        """Evaluate a PDF function at scalar t -> list of outputs, or None.
+
+        Supports types 2 (exponential), 3 (stitching) and 0 (sampled; the
+        table average, which is exact for our flat-colour approximation)."""
+        doc = self.doc
+        d = fn.dict if isinstance(fn, Stream) else fn
+        if not isinstance(d, dict):
+            return None
+        ftype = int(doc.resolve(d.get(Name("FunctionType"), -1)) or -1)
+        dom = doc.resolve(d.get(Name("Domain"))) or [0.0, 1.0]
+        d0, d1 = float(doc.resolve(dom[0])), float(doc.resolve(dom[1]))
+        t = min(max(t, d0), d1)
+        if ftype == 2:
+            c0 = doc.resolve(d.get(Name("C0"))) or [0.0]
+            c1 = doc.resolve(d.get(Name("C1"))) or [1.0]
+            n = float(doc.resolve(d.get(Name("N"), 1)) or 1)
+            s = (t - d0) / ((d1 - d0) or 1.0)
+            return [
+                float(doc.resolve(a)) + s**n * (
+                    float(doc.resolve(b)) - float(doc.resolve(a))
+                )
+                for a, b in zip(c0, c1)
+            ]
+        if ftype == 3:
+            fns = doc.resolve(d.get(Name("Functions"))) or []
+            bounds = [
+                float(doc.resolve(v))
+                for v in doc.resolve(d.get(Name("Bounds"))) or []
+            ]
+            enc = [
+                float(doc.resolve(v))
+                for v in doc.resolve(d.get(Name("Encode"))) or []
+            ]
+            lo = d0
+            for i, f in enumerate(fns):
+                hi = bounds[i] if i < len(bounds) else d1
+                if t < hi or i == len(fns) - 1:
+                    e0, e1 = (
+                        (enc[2 * i], enc[2 * i + 1])
+                        if len(enc) >= 2 * i + 2
+                        else (0.0, 1.0)
+                    )
+                    s = (t - lo) / ((hi - lo) or 1.0)
+                    return self._eval_function(doc.resolve(f), e0 + s * (e1 - e0))
+                lo = hi
+            return None
+        if ftype == 0 and isinstance(fn, Stream):
+            data = doc.get_stream_data(fn)
+            bps = int(doc.resolve(d.get(Name("BitsPerSample"), 8)) or 8)
+            rng = [
+                float(doc.resolve(v))
+                for v in doc.resolve(d.get(Name("Range"))) or []
+            ]
+            nout = max(len(rng) // 2, 1)
+            if bps == 8:
+                arr = np.frombuffer(data, np.uint8).astype(np.float32) / 255.0
+            elif bps == 16:
+                arr = np.frombuffer(data, ">u2").astype(np.float32) / 65535.0
+            else:
+                return None
+            if len(arr) < nout:
+                return None
+            arr = arr[: (len(arr) // nout) * nout].reshape(-1, nout)
+            mean = arr.mean(axis=0)
+            if rng:
+                return [
+                    rng[2 * i] + float(m) * (rng[2 * i + 1] - rng[2 * i])
+                    for i, m in enumerate(mean)
+                ]
+            return [float(m) for m in mean]
+        return None
+
+    def _shading_avg_color(self, shd):
+        """Average RGB colour of a shading (axial/radial/any with /Function).
+
+        The reference renders true gradients via pdfium; for document AI a
+        flat average-colour fill preserves detection behaviour (no holes)."""
+        doc = self.doc
+        d = shd.dict if isinstance(shd, Stream) else shd
+        if not isinstance(d, dict):
+            return None
+        fn = doc.resolve(d.get(Name("Function")))
+        comps = None
+        if fn is not None:
+            fns = fn if isinstance(fn, list) else [fn]
+            samples = []
+            for t in (0.0, 0.25, 0.5, 0.75, 1.0):
+                if len(fns) == 1:
+                    out = self._eval_function(doc.resolve(fns[0]), t)
+                else:  # one scalar function per colour component
+                    outs = [
+                        self._eval_function(doc.resolve(f), t) for f in fns
+                    ]
+                    out = [o[0] for o in outs] if all(outs) else None
+                if out:
+                    samples.append(out)
+            if samples:
+                comps = [sum(c) / len(samples) for c in zip(*samples)]
+        if comps is None:
+            comps = [0.5]
+        if len(comps) >= 4:
+            c, m_, y_, k_ = comps[:4]
+            rgb = ((1 - c) * (1 - k_), (1 - m_) * (1 - k_), (1 - y_) * (1 - k_))
+        elif len(comps) == 3:
+            rgb = tuple(comps)
+        else:
+            rgb = (comps[0],) * 3
+        return tuple(min(max(float(v), 0.0), 1.0) for v in rgb)
+
+    def _paint_region(self, color, state):
+        """Flat-fill the current clip region (whole page when unclipped)."""
+        if state.clip is None:
+            a = np.float32(state.alpha)
+        else:
+            a = state.clip.astype(np.float32)[..., None] / 255.0 * state.alpha
+        col = np.array([c * 255.0 for c in color], np.float32)
+        self.canvas *= 1.0 - a
+        self.canvas += a * col
+
     # -- images ----------------------------------------------------------
+
+    def _filter_parms(self, d, fname):
+        """DecodeParms dict for the given filter name (str keys, resolved)."""
+        doc = self.doc
+        filters = doc.resolve(d.get(Name("Filter")))
+        parms = doc.resolve(d.get(Name("DecodeParms")))
+        if parms is None:
+            parms = doc.resolve(d.get(Name("DP")))
+        if isinstance(filters, list) and isinstance(parms, list):
+            for f, p in zip(filters, parms):
+                if str(doc.resolve(f)) == fname:
+                    parms = doc.resolve(p)
+                    break
+            else:
+                parms = None
+        if not isinstance(parms, dict):
+            return {}
+        return {str(k): doc.resolve(v) for k, v in parms.items()}
+
+    def _decode_ccitt(self, data, d, fname, w, h):
+        """CCITTFax image data -> (h, w) uint8 sample bits (PDF 1-bpc
+        semantics: 0 = black unless BlackIs1), via the native G3/G4 decoder
+        (native/ccitt.cpp).  The reference handles these scans through
+        pdfium (/root/reference/src/yomitoku/data/functions.py:96-155)."""
+        from ...native import ccitt_decode
+
+        parms = self._filter_parms(d, fname)
+        k = int(parms.get("K", 0) or 0)
+        columns = int(parms.get("Columns", 1728) or 1728)
+        rows = int(parms.get("Rows", 0) or 0) or h
+        byte_align = bool(parms.get("EncodedByteAlign", False))
+        black_is_1 = bool(parms.get("BlackIs1", False))
+        try:
+            black = ccitt_decode(data, columns, rows, k=k, byte_align=byte_align)
+        except Exception:
+            logger.warning("CCITT fax decode failed; region left blank")
+            return None
+        bits = black if black_is_1 else 1 - black
+        # Conform to the declared Width/Height: crop, pad with white.
+        white = 1 - int(black_is_1)
+        out = np.full((h, w), white, np.uint8)
+        ch, cw = min(h, bits.shape[0]), min(w, bits.shape[1])
+        out[:ch, :cw] = bits[:ch, :cw]
+        return out
 
     def _decode_image(self, xo):
         doc = self.doc
@@ -868,11 +1073,24 @@ class PageRenderer:
         cs = doc.resolve(d.get(Name("ColorSpace")))
         mask_flag = bool(doc.resolve(d.get(Name("ImageMask"), False)))
 
-        if "DCTDecode" in filters or "JPXDecode" in filters:
+        if "DCTDecode" in filters or "DCT" in filters or "JPXDecode" in filters:
             arr = np.frombuffer(xo.raw, np.uint8)
             img = cv2.imdecode(arr, cv2.IMREAD_UNCHANGED)
             if img is None:
-                return None, None
+                # Some cv2 builds lack JPEG2000; fall back to PIL/openjpeg.
+                try:
+                    import io
+
+                    from PIL import Image
+
+                    pimg = Image.open(io.BytesIO(xo.raw))
+                    img = np.asarray(pimg.convert("RGB"))[:, :, ::-1]  # to BGR
+                except Exception:
+                    logger.warning(
+                        "undecodable DCT/JPX image stream (%s); region left blank",
+                        "+".join(filters),
+                    )
+                    return None, None
             if img.ndim == 2:
                 img = np.stack([img] * 3, -1)
             elif img.shape[2] == 4:  # assume CMYK-ish from Adobe jpeg
@@ -885,7 +1103,39 @@ class PageRenderer:
                 pass  # BGR from imdecode
             return img[:, :, ::-1], None  # to RGB
 
+        if "JBIG2Decode" in filters:
+            # A from-scratch JBIG2 decoder is out of scope; fail loudly and
+            # leave the region blank instead of misreading encoded bytes as
+            # raw pixels (the reference decodes these via pdfium).
+            logger.warning(
+                "JBIG2-encoded image skipped (no decoder); region left blank"
+            )
+            return None, None
+
         data = decode_stream(xo.raw, d, doc.resolve)
+
+        ccitt = next((f for f in filters if f in ("CCITTFaxDecode", "CCF")), None)
+        if ccitt is not None:
+            bits = self._decode_ccitt(data, d, ccitt, w, h)
+            if bits is None:
+                return None, None
+            if mask_flag:
+                decode = doc.resolve(d.get(Name("Decode")))
+                if decode and float(doc.resolve(decode[0])) == 1:
+                    bits = 1 - bits
+                return None, (1 - bits).astype(np.uint8) * 255
+            img = np.repeat((bits * 255).astype(np.uint8)[..., None], 3, axis=2)
+            return img, None
+
+        unhandled = [f for f in filters if f in _ENCODED_IMAGE_FILTERS]
+        if unhandled:
+            # Guard: data is still filter-encoded here; reshaping it as raw
+            # pixels would feed garbage imagery to OCR.
+            logger.warning(
+                "unsupported image filter(s) %s; region left blank", unhandled
+            )
+            return None, None
+
         if mask_flag:
             # stencil: 1 bpc, 1 = background (unless Decode [1 0])
             row_bytes = (w + 7) // 8

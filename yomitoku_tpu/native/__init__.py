@@ -189,3 +189,54 @@ def dbnet_boxes(
         [q.tolist() for q in quads[:n]],
         [float(s) for s in scores[:n]],
     )
+
+
+def _load_ccitt():
+    lib = _load_lib("ccitt")
+    if not getattr(lib, "_sig_done", False):
+        lib.ccitt_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+        ]
+        lib.ccitt_decode.restype = ctypes.c_int
+        lib._sig_done = True
+    return lib
+
+
+def ccitt_decode(
+    data: bytes, columns: int, rows: int, k: int = -1, byte_align: bool = False
+) -> np.ndarray:
+    """Decode CCITT Group 3/4 fax data -> (rows, columns) uint8, 1 = black.
+
+    k < 0: Group 4 (T.6 MMR); k == 0: Group 3 1-D (MH); k > 0: Group 3
+    mixed.  Rows the bitstream does not cover (truncated / corrupt tails)
+    are left white.  Native equivalent of the pdfium fax decoder the
+    reference uses via pypdfium2 (/root/reference/src/yomitoku/data/
+    functions.py:96-155); see native/ccitt.cpp.
+    """
+    if rows <= 0 or columns <= 0:
+        return np.zeros((max(rows, 0), max(columns, 0)), np.uint8)
+    lib = _load_ccitt()
+    buf = np.frombuffer(data, np.uint8)
+    out = np.zeros((rows, columns), np.uint8)
+    r = lib.ccitt_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_long(len(buf)),
+        int(columns),
+        int(k),
+        1 if byte_align else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(rows),
+    )
+    if r < rows:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "CCITT stream ended after %d of %d rows; remainder left white", r, rows
+        )
+    return out
