@@ -268,3 +268,147 @@ def test_fused_fallback_merge_beyond_max_tables(monkeypatch):
     assert calls, "expected the fallback region path for tables beyond the slots"
     assert merged_counts == [(6, 0)], merged_counts  # all 6 merged, no holes
     assert fused.model_dump() == threaded.model_dump()
+
+
+def _small_analyzer(num_devices=None):
+    from yomitoku_tpu.document_analyzer import DocumentAnalyzer
+
+    return DocumentAnalyzer(
+        configs={
+            "ocr": {
+                "text_detector": {
+                    "path_cfg": "tests/yaml/det_small.yaml",
+                    "from_pretrained": False,
+                },
+                "text_recognizer": {
+                    "path_cfg": "tests/yaml/rec_small.yaml",
+                    "from_pretrained": False,
+                },
+            },
+            "layout_analyzer": {
+                "layout_parser": {
+                    "path_cfg": "tests/yaml/layout_small.yaml",
+                    "from_pretrained": False,
+                },
+                "table_structure_recognizer": {
+                    "path_cfg": "tests/yaml/layout_small.yaml",
+                    "from_pretrained": False,
+                },
+            },
+        },
+        device="cpu",
+        num_devices=num_devices,
+    )
+
+
+def _assert_close_dump(want, got, path=""):
+    """Structural equality with a u8-wire-quantum tolerance on floats (the
+    page-batched vmap program may quantize the u8 prob map one step apart
+    from the solo program at exact .5 boundaries)."""
+    if isinstance(want, dict):
+        assert want.keys() == got.keys(), path
+        for k in want:
+            _assert_close_dump(want[k], got[k], f"{path}.{k}")
+    elif isinstance(want, (list, tuple)):
+        assert len(want) == len(got), path
+        for i, (a, b) in enumerate(zip(want, got)):
+            _assert_close_dump(a, b, f"{path}[{i}]")
+    elif isinstance(want, float) or isinstance(got, float):
+        assert abs(float(want) - float(got)) <= 2.0 / 255.0, (
+            f"{path}: {want} != {got}"
+        )
+    else:
+        assert want == got, f"{path}: {want!r} != {got!r}"
+
+
+def test_fused_batch_call_matches_per_page(models):
+    """FusedPageAnalysis.batch_call (page-axis vmap) must reproduce the
+    per-page program's wire for every lane, on pages of distinct
+    content (including a lane whose true size differs)."""
+    from yomitoku_tpu.ops.device_crop import pad_page
+    from yomitoku_tpu.ops.fused_page import FusedPageAnalysis
+
+    det, lay = models
+    prog = FusedPageAnalysis(
+        det, lay, lay, lay_top_k=20, tsr_top_k=20, table_label=0,
+        lay_thresh=0.5,
+    )
+    det_hw, lay_hw, tsr_hw = (128, 160), (128, 128), (128, 128)
+    imgs = [_page(200, 300, seed=s) for s in (1, 2)] + [
+        _page(180, 260, seed=3)
+    ]
+    stack = np.stack([pad_page(img, align=512) for img in imgs])
+    pages_dev = jnp.asarray(stack)
+    batched = prog.batch_call(
+        pages_dev, [img.shape[:2] for img in imgs], det_hw, lay_hw, tsr_hw
+    )
+    for i, img in enumerate(imgs):
+        page = DevicePage(img)
+        solo = prog(page, page.hw, det_hw, lay_hw, tsr_hw)
+        for name, a, b in zip(
+            ("prob", "packed", "packed_t", "sel", "valid"), solo, batched[i]
+        ):
+            if name == "prob":
+                # u8 wire: vmap vs single program may round one step apart
+                assert np.abs(
+                    a.astype(np.int16) - b.astype(np.int16)
+                ).max() <= 1, name
+            else:
+                # box coords are pixel-unit floats; vmap-vs-single float
+                # association noise sits at rel ~1e-5
+                np.testing.assert_allclose(
+                    a, b, rtol=1e-4, atol=1e-3, err_msg=name
+                )
+
+
+def test_batch_dp_fused_matches_solo(monkeypatch):
+    """DocumentAnalyzer._batch_dp under a mesh must take the FUSED device
+    path (DevicePage + separable crops + batched fused program) and match
+    the solo fused run per page on DISTINCT pages."""
+    import yomitoku_tpu.ops.device_crop as dc
+
+    monkeypatch.setattr(dc, "device_crops_enabled", lambda: True)
+    solo = _small_analyzer()
+    dp = _small_analyzer(num_devices=2)
+    for a, b in (
+        (dp.text_detector, solo.text_detector),
+        (dp.text_recognizer, solo.text_recognizer),
+        (dp.layout.layout_parser, solo.layout.layout_parser),
+        (
+            dp.layout.table_structure_recognizer,
+            solo.layout.table_structure_recognizer,
+        ),
+    ):
+        b.model.params = a.model.params
+    imgs = [_page(160, 240, seed=s) for s in (5, 6, 7)]  # odd count: pad lane
+    results = dp.batch(imgs)
+    assert len(results) == 3
+    assert dp._fused_page_program is not None, "fused DP path not taken"
+    for img, (res, _, _) in zip(imgs, results):
+        want = solo(img)[0].model_dump()
+        _assert_close_dump(want, res.model_dump())
+
+
+def test_batch_dp_single_chip_uses_page_batching(monkeypatch):
+    """Without a mesh, _batch_dp_fused still batches pages (up to 4) into
+    one fused dispatch — the single-chip A/B of the DP path."""
+    import yomitoku_tpu.ops.device_crop as dc
+    from yomitoku_tpu.ops.fused_page import FusedPageAnalysis
+
+    monkeypatch.setattr(dc, "device_crops_enabled", lambda: True)
+    analyzer = _small_analyzer()
+    imgs = [_page(160, 240, seed=s) for s in (8, 9)]
+    solo_dumps = [analyzer(img)[0].model_dump() for img in imgs]
+
+    batch_calls = []
+    orig = FusedPageAnalysis.batch_call
+
+    def spy(self, pages_dev, hws, *a, **k):
+        batch_calls.append(pages_dev.shape[0])
+        return orig(self, pages_dev, hws, *a, **k)
+
+    monkeypatch.setattr(FusedPageAnalysis, "batch_call", spy)
+    results = analyzer._batch_dp_fused(imgs)
+    assert batch_calls == [2], batch_calls  # one 2-page dispatch
+    for want, (res, _, _) in zip(solo_dumps, results):
+        _assert_close_dump(want, res.model_dump())

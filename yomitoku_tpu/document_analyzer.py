@@ -165,6 +165,21 @@ def filter_ruby(contained_words, element_direction, ruby_threshold):
     ]
 
 
+class _BlockWord:
+    """Slotted stand-in for ParagraphSchema in the per-block ordering hot
+    path: aggregate() orders the member words of EVERY cell/paragraph, and
+    pydantic construction + validate_assignment on ``.order`` writes was
+    ~half the measured aggregate cost (r3 bench: 37.5 ms/page)."""
+
+    __slots__ = ("box", "contents", "direction", "order")
+
+    def __init__(self, box, contents, direction):
+        self.box = box
+        self.contents = contents
+        self.direction = direction
+        self.order = 0
+
+
 def _assemble_text_block(words, word_boxes, member_idx, ignore_ruby,
                          ruby_threshold):
     """Compose the text block for one element from its member word
@@ -174,10 +189,7 @@ def _assemble_text_block(words, word_boxes, member_idx, ignore_ruby,
     if len(member_idx) == 0:
         return None, None
     members = [
-        ParagraphSchema(
-            box=word_boxes[i], contents=words[i].content,
-            direction=words[i].direction, order=0, role=None,
-        )
+        _BlockWord(word_boxes[i], words[i].content, words[i].direction)
         for i in member_idx
     ]
     n_horizontal = sum(m.direction == "horizontal" for m in members)
@@ -481,26 +493,7 @@ class DocumentAnalyzer:
             "words": ocr_res.words,
         }
 
-    def _run_fused(self, img, page):
-        """Single-dispatch page path (accelerator default): det, layout,
-        AND the TSR table crops run as ONE device program with ONE
-        readback (ops.fused_page.FusedPageAnalysis) — the program itself
-        selects the table-classified layout detections and runs TSR on a
-        fixed number of crop slots, so the host never pays the
-        layout-readback -> TSR-dispatch round trip.  Tables the slots
-        missed (more than max_tables, or host-side dedup disagreements)
-        fall back to the chunked region path, overlapped with the
-        contour pass."""
-        from .ops.device_crop import (
-            collect_filtered_regions,
-            dispatch_regions_from_page,
-        )
-        from .schemas import LayoutAnalyzerSchema, LayoutParserSchema, TextDetectorSchema
-        from .utils.stagetrace import segment
-
-        det = self.text_detector
-        lp = self.layout.layout_parser
-        tsr = self.layout.table_structure_recognizer
+    def _ensure_fused_program(self):
         # double-checked lock: batch() runs up to 3 concurrent pages, and
         # an unguarded lazy init would build (and XLA-compile) the large
         # fused program once per racing thread
@@ -509,6 +502,9 @@ class DocumentAnalyzer:
                 if getattr(self, "_fused_page_program", None) is None:
                     from .ops.fused_page import FusedPageAnalysis
 
+                    det = self.text_detector
+                    lp = self.layout.layout_parser
+                    tsr = self.layout.table_structure_recognizer
                     table_label = next(
                         i for i, c in lp.label_mapper.items() if c == "tables"
                     )
@@ -519,18 +515,30 @@ class DocumentAnalyzer:
                         table_label=table_label,
                         lay_thresh=lp.thresh_score,
                     )
+        return self._fused_page_program
 
+    def _fused_host_postwire(self, img, page, prob, packed, packed_t, sel,
+                             sel_valid):
+        """Per-page host side of the fused wire: layout filter, TSR slot
+        match (misses fall back to chunked region dispatch, overlapped
+        with the contour pass), DBNet contours, split-across-cells.
+
+        ``page`` is any object with a ``.dev`` uint8 device page (a
+        DevicePage, or one lane of a stacked DP page batch).  Returns
+        (results_det, results_layout, layout_schema)."""
+        from .ops.device_crop import (
+            collect_filtered_regions,
+            dispatch_regions_from_page,
+        )
+        from .schemas import LayoutAnalyzerSchema, LayoutParserSchema, TextDetectorSchema
+        from .utils.stagetrace import segment
+
+        det = self.text_detector
+        lp = self.layout.layout_parser
+        tsr = self.layout.table_structure_recognizer
         ori_h, ori_w = img.shape[:2]
-        from .data.functions import shortest_edge_size
-
-        det_hw = shortest_edge_size(
-            ori_h, ori_w,
-            det._cfg.data.shortest_size, det._cfg.data.limit_size,
-        )
         tsr_hw = tuple(tsr._cfg.data.img_size)
-        prob, packed, packed_t, sel, sel_valid = self._fused_page_program(
-            page, page.hw, det_hw, tuple(lp._cfg.data.img_size), tsr_hw
-        )
+
         outputs = lp.postprocessor.filter_packed(
             packed, [[ori_w, ori_h]], lp.thresh_score
         )
@@ -584,6 +592,40 @@ class DocumentAnalyzer:
 
         if self.split_text_across_cells:
             results_det = _split_text_across_cells(results_det, layout_schema)
+        return results_det, results_layout, layout_schema
+
+    def _run_fused(self, img, page):
+        """Single-dispatch page path (accelerator default): det, layout,
+        AND the TSR table crops run as ONE device program with ONE
+        readback (ops.fused_page.FusedPageAnalysis) — the program itself
+        selects the table-classified layout detections and runs TSR on a
+        fixed number of crop slots, so the host never pays the
+        layout-readback -> TSR-dispatch round trip.  Tables the slots
+        missed (more than max_tables, or host-side dedup disagreements)
+        fall back to the chunked region path, overlapped with the
+        contour pass."""
+        from .utils.stagetrace import segment
+
+        det = self.text_detector
+        lp = self.layout.layout_parser
+        tsr = self.layout.table_structure_recognizer
+        prog = self._ensure_fused_program()
+
+        ori_h, ori_w = img.shape[:2]
+        from .data.functions import shortest_edge_size
+
+        det_hw = shortest_edge_size(
+            ori_h, ori_w,
+            det._cfg.data.shortest_size, det._cfg.data.limit_size,
+        )
+        tsr_hw = tuple(tsr._cfg.data.img_size)
+        wire = prog(
+            page, page.hw, det_hw, tuple(lp._cfg.data.img_size), tsr_hw
+        )
+        results_det, results_layout, layout_schema = self._fused_host_postwire(
+            img, page, *wire
+        )
+        tables = layout_schema.tables
 
         vis_det = None
         layout_vis = None
@@ -708,7 +750,106 @@ class DocumentAnalyzer:
             return list(executor.map(_one, imgs))
 
     def _batch_dp(self, imgs):
-        """Stage-batched, page-parallel analysis over the dp mesh.
+        """Page-parallel analysis: fused device path when device crops are
+        on (the round-3 kernels — DevicePage uploads, separable MXU
+        crops, one det+layout+TSR program per page chunk, sharded over
+        dp), host-crop stage batching otherwise (CPU backend)."""
+        from .ops.device_crop import device_crops_enabled
+
+        if device_crops_enabled() and self._fused_page_enabled():
+            return self._batch_dp_fused(imgs)
+        return self._batch_dp_host(imgs)
+
+    def _batch_dp_fused(self, imgs):
+        """Page-axis DP over the FUSED device path.
+
+        Pages group by (padded page-shape bucket, det /32 bucket) and run
+        in chunks of dp pages through ONE batched fused program dispatch
+        (ops.fused_page.FusedPageAnalysis.batch_call, a page-axis vmap of
+        the single-page program): the stacked uint8 page batch is placed
+        dp-sharded, so each chip runs det + layout + its pages' TSR slot
+        crops with zero cross-chip collectives.  Line recognition then
+        dispatches per page with the homography batch dp-sharded
+        (models/parseq.py place_batch) — every chip decodes a slice of
+        each page's lines from the (ICI-broadcast) page.  Host
+        postprocessing (contours, tokenizer, aggregation) stays per-page
+        on the host, overlapped across the chunk.
+
+        Without a mesh (single chip) the same path batches up to 4 pages
+        per dispatch — deeper device batching than the threaded
+        per-page pipeline, same kernels."""
+        from types import SimpleNamespace
+
+        import jax
+        import jax.numpy as jnp
+
+        from .data.functions import shortest_edge_size
+        from .ops.device_crop import pad_page
+        from .parallel import dp_mesh
+        from .parallel.mesh import batch_sharding
+
+        prog = self._ensure_fused_program()
+        det = self.text_detector
+        lp = self.layout.layout_parser
+        tsr = self.layout.table_structure_recognizer
+        mesh = dp_mesh(self.num_devices)
+        chunk_pages = (
+            mesh.shape["dp"] if mesh is not None else min(len(imgs), 4)
+        )
+        lay_hw = tuple(lp._cfg.data.img_size)
+        tsr_hw = tuple(tsr._cfg.data.img_size)
+
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        padded = {}
+        for i, img in enumerate(imgs):
+            h, w = img.shape[:2]
+            det_hw = shortest_edge_size(
+                h, w, det._cfg.data.shortest_size, det._cfg.data.limit_size
+            )
+            padded[i] = pad_page(img)
+            groups[(padded[i].shape, det_hw)].append(i)
+
+        results = [None] * len(imgs)
+        for (pshape, det_hw), members in groups.items():
+            for s in range(0, len(members), chunk_pages):
+                ids = members[s : s + chunk_pages]
+                # pad the chunk to the program's page count by repeating
+                # the first page (keeps ONE compiled program per bucket;
+                # padded lanes' outputs are dropped)
+                pad_ids = ids + [ids[0]] * (chunk_pages - len(ids))
+                stack = np.stack([padded[i] for i in pad_ids])
+                if mesh is not None:
+                    pages_dev = jax.device_put(
+                        stack, batch_sharding(mesh, stack.ndim)
+                    )
+                else:
+                    pages_dev = jnp.asarray(stack)
+                hws = [imgs[i].shape[:2] for i in pad_ids]
+                per_page = prog.batch_call(
+                    pages_dev, hws, det_hw, lay_hw, tsr_hw
+                )
+                for j, i in enumerate(ids):
+                    page_view = SimpleNamespace(
+                        dev=pages_dev[j], hw=tuple(imgs[i].shape[:2])
+                    )
+                    results_det, _, layout_schema = self._fused_host_postwire(
+                        imgs[i], page_view, *per_page[j]
+                    )
+                    results_rec, _ = self.text_recognizer(
+                        imgs[i], results_det.points, None, page=page_view
+                    )
+                    results_ocr = OCRSchema(
+                        words=ocr_aggregate(results_det, results_rec)
+                    )
+                    outputs = self.aggregate(results_ocr, layout_schema)
+                    results[i] = (DocumentAnalyzerSchema(**outputs), None, None)
+        return results
+
+    def _batch_dp_host(self, imgs):
+        """Stage-batched, page-parallel analysis over the dp mesh with
+        HOST preprocessing (the CPU-backend fallback of _batch_dp).
 
         Each stage runs ONE forward over the concatenation of every
         page's inputs (pages / layout tiles / table crops / line crops);

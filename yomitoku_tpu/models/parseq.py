@@ -575,11 +575,15 @@ class PARSeq(JaxModel):
             else self._tokens_page_fn
         )
         with segment(self.trace_stage, "dispatch"):
+            # place_batch shards the line axis over the dp mesh when it
+            # divides evenly (batch buckets 8/32/128 all do): each chip
+            # crops its lines from the (ICI-broadcast) page and decodes
+            # them — the page-DP pipeline's per-page line parallelism
             dev = fn(
                 self.dparams,
                 page,
-                jnp.asarray(np.asarray(mats, np.float32)),
-                jnp.asarray(np.asarray(valid_wh, np.int32)),
+                self.place_batch(np.asarray(mats, np.float32)),
+                self.place_batch(np.asarray(valid_wh, np.int32)),
                 self.decode_ar,
                 int(self.refine_iters),
             )

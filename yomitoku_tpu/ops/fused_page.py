@@ -24,7 +24,7 @@ from ..models.dbnet import DBNet
 from ..models.rtdetr import RTDETRv2
 from ..postprocessor.rtdetr_postprocessor import _topk_device
 from ..utils.stagetrace import segment
-from .device_crop import staged_page_mat, staged_wh
+from .device_crop import region_mats, staged_page_mat, staged_wh
 
 
 class FusedDetLayout:
@@ -132,6 +132,7 @@ class FusedPageAnalysis:
         self.lay_thresh = float(lay_thresh)
         self.max_tables = int(max_tables)
         self._fn = jax.jit(partial(self._fwd, self), static_argnums=(5, 7, 8))
+        self._bfn = jax.jit(partial(self._bfwd, self), static_argnums=(6, 7, 8))
 
     @staticmethod
     def _fwd(self, det_params, lay_params, tsr_params, page, det_mat,
@@ -220,7 +221,11 @@ class FusedPageAnalysis:
             )
         with segment(self.trace_label, "sync", nbytes=wire.nbytes):
             arr = np.asarray(wire)
+        return self._split_wire(arr, det_out_hw)
 
+    def _split_wire(self, arr, det_out_hw):
+        """One page's packed wire bytes -> (prob, packed, packed_t, sel,
+        valid) host arrays."""
         oh, ow = det_out_hw
         K, k, q = self.max_tables, self.lay_k, self.tsr_k
         n_prob = oh * ow
@@ -233,3 +238,48 @@ class FusedPageAnalysis:
         sel = f32(arr[cuts[2] : cuts[3]]).reshape(K, 4).astype(np.int64)
         valid = f32(arr[cuts[3] : cuts[4]]) > 0.0
         return prob, packed, packed_t, sel, valid
+
+    # ------------------------------------------------- page-axis batching
+
+    @staticmethod
+    def _bfwd(self, det_params, lay_params, tsr_params, pages, det_mats,
+              lay_mats, det_hw, lay_hw, tsr_hw, orig_whs):
+        """vmap of _fwd over a leading page axis.  Pages placed dp-sharded
+        partition the whole program page-parallel (det, layout, TSR crops
+        and forwards all batch over pages — XLA needs no cross-page
+        collectives, so the shards never talk)."""
+
+        def one(page, det_mat, lay_mat, orig_wh):
+            return FusedPageAnalysis._fwd(
+                self, det_params, lay_params, tsr_params, page,
+                det_mat, det_hw, lay_mat, lay_hw, tsr_hw, orig_wh,
+            )
+
+        return jax.vmap(one)(pages, det_mats, lay_mats, orig_whs)
+
+    def batch_call(self, pages_dev, page_hws, det_out_hw, lay_out_hw,
+                   tsr_out_hw):
+        """(N, PH, PW, 3) uint8 stacked pages (place dp-sharded for
+        multi-chip page parallelism) + per-page true (h, w) -> list of N
+        per-page (prob, packed, packed_t, sel, valid) tuples.
+
+        All pages in a call share the same padded shape and det/lay/tsr
+        output shapes (group upstream); ONE dispatch and ONE readback
+        cover the whole page batch."""
+        det_mats, lay_mats, whs = [], [], []
+        for h, w in page_hws:
+            det_mats.append(region_mats([(0, 0, w, h)], det_out_hw)[0])
+            lay_mats.append(region_mats([(0, 0, w, h)], lay_out_hw)[0])
+            whs.append([[w, h]])
+        with segment(self.trace_label, "dispatch"):
+            wires = self._bfn(
+                self.det.dparams, self.lay.dparams, self.tsr.dparams,
+                pages_dev,
+                jnp.asarray(np.asarray(det_mats, np.float32)),
+                jnp.asarray(np.asarray(lay_mats, np.float32)),
+                tuple(det_out_hw), tuple(lay_out_hw), tuple(tsr_out_hw),
+                jnp.asarray(np.asarray(whs, np.float32)),
+            )
+        with segment(self.trace_label, "sync", nbytes=wires.nbytes):
+            arr = np.asarray(wires)
+        return [self._split_wire(arr[i], det_out_hw) for i in range(len(arr))]
