@@ -156,12 +156,193 @@ def validate_rtdetr(rng):
     return ok
 
 
+def emit_module_outputs(images, out_path):
+    """Run the REAL task modules (TextDetector quads, TextRecognizer
+    strings, LayoutParser boxes) with pretrained weights on ``images``
+    and dump a JSON parity artifact.
+
+    The matching reference-side artifact comes from
+    scripts/dump_reference_outputs.py run in an environment where the
+    PyTorch reference is installed; ``--compare`` then scores the pair."""
+    import json
+
+    from yomitoku_tpu.data import load_image
+    from yomitoku_tpu.layout_parser import LayoutParser
+    from yomitoku_tpu.text_detector import TextDetector
+    from yomitoku_tpu.text_recognizer import TextRecognizer
+
+    det = TextDetector(from_pretrained=True)
+    rec = TextRecognizer(from_pretrained=True)
+    lay = LayoutParser(from_pretrained=True)
+    for m in (det, rec, lay):
+        if m.model.pretrained_source is None:
+            raise FileNotFoundError(
+                "pretrained weights missing — run download_model first"
+            )
+
+    pages = []
+    for path in images:
+        for img in load_image(path):
+            d, _ = det(img)
+            r, _ = rec(img, d.points)
+            l, _ = lay(img)
+            pages.append(
+                {
+                    "image": str(path),
+                    "det": {"points": d.points, "scores": d.scores},
+                    "rec": {
+                        "contents": r.contents,
+                        "scores": r.scores,
+                        "points": [np.asarray(p).tolist() for p in r.points],
+                        "directions": r.directions,
+                    },
+                    "layout": {
+                        cat: [
+                            {"box": e.box, "score": e.score, "role": e.role}
+                            for e in getattr(l, cat)
+                        ]
+                        for cat in ("paragraphs", "tables", "figures")
+                    },
+                }
+            )
+    Path(out_path).write_text(json.dumps({"pages": pages}))
+    print(f"wrote {len(pages)} page(s) to {out_path}")
+
+
+def _quad_iou(a, b):
+    ax = np.asarray(a, np.float64).reshape(4, 2)
+    bx = np.asarray(b, np.float64).reshape(4, 2)
+    ax1, ay1 = ax.min(0)
+    ax2, ay2 = ax.max(0)
+    bx1, by1 = bx.min(0)
+    bx2, by2 = bx.max(0)
+    iw = max(0.0, min(ax2, bx2) - max(ax1, bx1))
+    ih = max(0.0, min(ay2, by2) - max(ay1, by1))
+    inter = iw * ih
+    union = (ax2 - ax1) * (ay2 - ay1) + (bx2 - bx1) * (by2 - by1) - inter
+    return inter / union if union > 0 else 0.0
+
+
+def compare_module_outputs(ours_path, ref_path, iou_thresh=0.9,
+                           min_det_match=0.98, min_rec_agree=0.98,
+                           min_layout_match=0.95):
+    """Score a parity artifact pair (ours vs the reference dump):
+    detector quads by axis-aligned IoU matching, recognizer strings by
+    exact agreement on IoU-matched quads, layout boxes by per-category
+    IoU matching.  Prints the report; returns overall pass."""
+    import json
+
+    ours = json.loads(Path(ours_path).read_text())["pages"]
+    ref = json.loads(Path(ref_path).read_text())["pages"]
+    if len(ours) != len(ref):
+        print(f"page count differs: ours={len(ours)} ref={len(ref)}")
+        return False
+
+    det_hits = det_total = 0
+    rec_hits = rec_total = 0
+    lay_hits = lay_total = 0
+    for po, pr in zip(ours, ref):
+        ref_quads = pr["det"]["points"]
+        taken = [False] * len(ref_quads)
+        matches = {}
+        for i, q in enumerate(po["det"]["points"]):
+            best, best_j = 0.0, None
+            for j, rq in enumerate(ref_quads):
+                if taken[j]:
+                    continue
+                iou = _quad_iou(q, rq)
+                if iou > best:
+                    best, best_j = iou, j
+            if best_j is not None and best >= iou_thresh:
+                taken[best_j] = True
+                matches[i] = best_j
+                det_hits += 1
+        det_total += max(len(ref_quads), len(po["det"]["points"]))
+
+        # recognizer strings on IoU-matched line quads
+        o_by_quad = {
+            tuple(np.asarray(p).reshape(-1).tolist()): c
+            for p, c in zip(po["rec"]["points"], po["rec"]["contents"])
+        }
+        r_by_quad = {
+            tuple(np.asarray(p).reshape(-1).tolist()): c
+            for p, c in zip(pr["rec"]["points"], pr["rec"]["contents"])
+        }
+        for op, rp_ in ((po["det"]["points"][i], ref_quads[j])
+                        for i, j in matches.items()):
+            oc = o_by_quad.get(tuple(np.asarray(op).reshape(-1).tolist()))
+            rc = r_by_quad.get(tuple(np.asarray(rp_).reshape(-1).tolist()))
+            if oc is None or rc is None:
+                continue
+            rec_total += 1
+            rec_hits += oc == rc
+
+        for cat in ("paragraphs", "tables", "figures"):
+            ob = [e["box"] for e in po["layout"][cat]]
+            rb = [e["box"] for e in pr["layout"][cat]]
+            taken = [False] * len(rb)
+            for b in ob:
+                for j, r2 in enumerate(rb):
+                    if not taken[j] and _quad_iou(
+                        [[b[0], b[1]], [b[2], b[1]], [b[2], b[3]], [b[0], b[3]]],
+                        [[r2[0], r2[1]], [r2[2], r2[1]], [r2[2], r2[3]],
+                         [r2[0], r2[3]]],
+                    ) >= iou_thresh:
+                        taken[j] = True
+                        lay_hits += 1
+                        break
+            lay_total += max(len(ob), len(rb))
+
+    det_rate = det_hits / det_total if det_total else 1.0
+    rec_rate = rec_hits / rec_total if rec_total else 1.0
+    lay_rate = lay_hits / lay_total if lay_total else 1.0
+    ok = (
+        det_rate >= min_det_match
+        and rec_rate >= min_rec_agree
+        and lay_rate >= min_layout_match
+    )
+    print(
+        f"det quad match (IoU>={iou_thresh}): {det_rate:.4f} "
+        f"(>= {min_det_match} {'OK' if det_rate >= min_det_match else 'FAIL'})"
+    )
+    print(
+        f"rec string agreement on matched quads: {rec_rate:.4f} "
+        f"(>= {min_rec_agree} {'OK' if rec_rate >= min_rec_agree else 'FAIL'})"
+    )
+    print(
+        f"layout box match: {lay_rate:.4f} "
+        f"(>= {min_layout_match} {'OK' if lay_rate >= min_layout_match else 'FAIL'})"
+    )
+    return ok
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--emit", metavar="OUT_JSON",
+        help="run the real task modules on --images and dump the parity "
+        "artifact (quads/strings/boxes) instead of the tensor checks",
+    )
+    ap.add_argument(
+        "--images", nargs="*",
+        default=["/root/reference/demo/sample.pdf"],
+        help="pages for --emit (default: the reference demo PDF)",
+    )
+    ap.add_argument(
+        "--compare", nargs=2, metavar=("OURS_JSON", "REF_JSON"),
+        help="score a parity artifact pair (see "
+        "scripts/dump_reference_outputs.py for the reference side)",
+    )
     args = ap.parse_args()
-    rng = np.random.RandomState(args.seed)
 
+    if args.compare:
+        sys.exit(0 if compare_module_outputs(*args.compare) else 1)
+    if args.emit:
+        emit_module_outputs(args.images, args.emit)
+        sys.exit(0)
+
+    rng = np.random.RandomState(args.seed)
     ok = True
     for fn in (validate_dbnet, validate_parseq, validate_rtdetr):
         try:

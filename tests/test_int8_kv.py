@@ -118,3 +118,133 @@ def test_int8_kv_logits_close():
     )
     lb = np.asarray(q8._probs_fn(q8.dparams, jnp.asarray(crops), True, 0))
     assert np.abs(la - lb).max() < 0.02, np.abs(la - lb).max()
+
+
+# ------------------------------------------------- self-verifying default
+
+def _parseq_audit():
+    """Tiny-but-not-trivial PARSeq (64-dim, depth 2) — the size the audit
+    divergence injection below was calibrated on."""
+    from yomitoku_tpu.configs import TextRecognizerPARSeqTinyConfig
+    from yomitoku_tpu.models.parseq import PARSeq
+
+    cfg = structured(TextRecognizerPARSeqTinyConfig)
+    cfg.encoder.depth = 2
+    cfg.encoder.embed_dim = 64
+    cfg.encoder.num_heads = 2
+    cfg.decoder.embed_dim = 64
+    cfg.decoder.num_heads = 2
+    cfg.num_tokens = 32
+    cfg.max_label_length = 8
+    cfg.data.img_size = [32, 64]
+    return PARSeq(cfg)
+
+
+def test_audit_int8_kv_clean_params_keep_int8():
+    m = _parseq_audit()
+    m.params = m.init_params(0)
+    m.int8_kv = True
+    m._build_programs()
+    assert m.audit_int8_kv() is True
+    assert m.int8_kv is True
+
+
+def test_audit_int8_kv_outlier_k_trips_fallback():
+    """A synthetic outlier dimension in a cross-attention K projection
+    (the failure mode per-head symmetric quantization is vulnerable to)
+    must flip greedy ids in the audit batch -> int8 disabled + warned,
+    and the f32 decode keeps working."""
+    import logging
+
+    m = _parseq_audit()
+    p = m.init_params(0)
+    k = np.array(
+        p["params"]["decoder"]["layers_0"]["cross_attn"]["k_proj"]["kernel"]
+    )
+    k[:, 0] *= 20.0  # calibrated: flips greedy on this seed/size
+    p["params"]["decoder"]["layers_0"]["cross_attn"]["k_proj"]["kernel"] = k
+    m.params = p
+    m.int8_kv = True
+    m._build_programs()
+
+    records = []
+
+    class _Catch(logging.Handler):
+        def emit(self, record):
+            records.append(record)
+
+    lg = logging.getLogger("yomitoku_tpu.models.parseq")
+    h = _Catch()
+    lg.addHandler(h)
+    try:
+        ok = m.audit_int8_kv()
+    finally:
+        lg.removeHandler(h)
+    assert ok is False
+    assert m.int8_kv is False
+    assert any("diverges" in r.getMessage() for r in records)
+    # the fallback decode path still runs
+    h_, w_ = m.core.img_size
+    batch = np.random.RandomState(1).rand(1, h_, w_, 3).astype(np.float32)
+    ids, probs = m.forward_tokens(batch)
+    assert ids.shape[0] == 1
+
+
+def test_recognizer_triggers_audit_on_real_weights(monkeypatch, tmp_path):
+    """TextRecognizer must run the int8 audit exactly when params are
+    REAL (converted/msgpack) and the user did not force the choice, and
+    must apply its verdict."""
+    from yomitoku_tpu.models.parseq import PARSeq
+    from yomitoku_tpu.text_recognizer import TextRecognizer
+    from yomitoku_tpu.weights import save_params_msgpack
+
+    monkeypatch.setenv("YOMITOKU_TPU_WEIGHTS", str(tmp_path))
+    monkeypatch.delenv("YOMITOKU_TPU_INT8_KV", raising=False)
+    # simulate the TPU default on the CPU test backend
+    import yomitoku_tpu.models.parseq as parseq_mod
+
+    monkeypatch.setattr(parseq_mod, "_int8_kv_default", lambda: True)
+
+    calls = []
+
+    def fake_audit(self, batch=None):
+        calls.append(1)
+        self.int8_kv = False  # pretend divergence
+        return False
+
+    monkeypatch.setattr(PARSeq, "audit_int8_kv", fake_audit)
+
+    # stage msgpack weights for the tiny model in the temp store
+    from yomitoku_tpu.config import load_config
+    from yomitoku_tpu.configs import TextRecognizerPARSeqTinyConfig
+
+    cfg = load_config(TextRecognizerPARSeqTinyConfig, "tests/yaml/rec_small.yaml")
+    template = PARSeq(cfg).init_params(0)
+    repo = str(cfg.hf_hub_repo).split("/")[-1]
+    save_params_msgpack(template, tmp_path / f"{repo}.msgpack")
+
+    rec = TextRecognizer(
+        model_name="parseq-tiny", path_cfg="tests/yaml/rec_small.yaml",
+        device="cpu", from_pretrained=True,
+    )
+    assert rec.model.pretrained_source == "msgpack"
+    assert calls == [1]
+    assert rec.model.int8_kv is False  # verdict applied
+
+    # random weights -> no audit
+    calls.clear()
+    rec2 = TextRecognizer(
+        model_name="parseq-tiny", path_cfg="tests/yaml/rec_small.yaml",
+        device="cpu", from_pretrained=False,
+    )
+    assert rec2.model.pretrained_source is None
+    assert calls == []
+
+    # explicit user choice -> no audit
+    monkeypatch.setenv("YOMITOKU_TPU_INT8_KV", "1")
+    rec3 = TextRecognizer(
+        model_name="parseq-tiny", path_cfg="tests/yaml/rec_small.yaml",
+        device="cpu", from_pretrained=True,
+    )
+    assert calls == []
+    assert rec3.model.int8_kv is True

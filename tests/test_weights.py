@@ -58,3 +58,49 @@ def test_offline_fallback_warns(tmp_path, monkeypatch):
         logging.getLogger("yomitoku_tpu.weights").removeHandler(h)
     assert params is not None
     assert any("RANDOM" in r for r in records)
+
+
+def test_parity_compare_scores_matches_and_misses(tmp_path):
+    """validate_real_weights --compare: IoU-matched det quads, string
+    agreement on matched quads, per-category layout box matching."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from validate_real_weights import compare_module_outputs
+
+    quad = lambda x, y, w, h: [[x, y], [x + w, y], [x + w, y + h], [x, y + h]]
+    page = {
+        "image": "p",
+        "det": {"points": [quad(10, 10, 100, 20), quad(10, 50, 80, 20)],
+                "scores": [0.9, 0.9]},
+        "rec": {
+            "contents": ["hello", "world"],
+            "scores": [0.9, 0.9],
+            "points": [quad(10, 10, 100, 20), quad(10, 50, 80, 20)],
+            "directions": ["horizontal", "horizontal"],
+        },
+        "layout": {
+            "paragraphs": [{"box": [5, 5, 200, 80], "score": 0.9, "role": None}],
+            "tables": [], "figures": [],
+        },
+    }
+    ours = tmp_path / "ours.json"
+    ref = tmp_path / "ref.json"
+    ours.write_text(json.dumps({"pages": [page]}))
+    ref.write_text(json.dumps({"pages": [page]}))
+    assert compare_module_outputs(ours, ref) is True
+
+    import copy
+
+    bad = copy.deepcopy(page)
+    bad["rec"]["contents"] = ["hello", "w0rld"]  # one string off
+    ours.write_text(json.dumps({"pages": [bad]}))
+    assert compare_module_outputs(ours, ref) is False
+
+    shifted = copy.deepcopy(page)
+    shifted["det"]["points"][1] = quad(400, 400, 80, 20)  # quad misses
+    shifted["rec"]["points"][1] = quad(400, 400, 80, 20)
+    ours.write_text(json.dumps({"pages": [shifted]}))
+    assert compare_module_outputs(ours, ref) is False

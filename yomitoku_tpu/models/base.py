@@ -44,6 +44,10 @@ class JaxModel:
         self._params = None
         self._dparams = None
         self._mesh = None
+        #: "msgpack" / "torch" when real pretrained weights loaded,
+        #: None for the random-init fallback (weights.py sets it) —
+        #: accuracy-sensitive defaults key their self-audits on this
+        self.pretrained_source = None
 
     # -- parameters -----------------------------------------------------
 

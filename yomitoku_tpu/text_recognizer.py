@@ -71,6 +71,17 @@ class TextRecognizer(BaseModule):
     ):
         super().__init__()
         self.load_model(model_name, path_cfg, from_pretrained=from_pretrained)
+        # self-verifying int8 default: on first load of REAL (converted)
+        # params, audit int8-vs-f32 greedy parity on device and fall back
+        # to the f32 cache on divergence.  Skipped when the user forced
+        # the choice (YOMITOKU_TPU_INT8_KV) or weights are random.
+        if (
+            self.model.int8_kv
+            and self.model.pretrained_source is not None
+            and not os.environ.get("YOMITOKU_TPU_INT8_KV")
+            and not os.environ.get("YOMITOKU_TPU_SKIP_INT8_AUDIT")
+        ):
+            self.model.audit_int8_kv()
         if num_devices is not None:
             from .parallel import dp_mesh
 

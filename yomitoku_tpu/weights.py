@@ -82,6 +82,7 @@ def load_pretrained_params(model, cfg):
     template = model.init_params(seed=0)
     if mp.exists():
         logger.info(f"Loading weights from {mp}")
+        model.pretrained_source = "msgpack"
         return load_params_msgpack(template, mp)
 
     tc = _find_torch_checkpoint(cfg)
@@ -90,6 +91,7 @@ def load_pretrained_params(model, cfg):
         sd = load_torch_state_dict(tc)
         params = model.convert_torch_state_dict(sd)
         save_params_msgpack(params, mp)
+        model.pretrained_source = "torch"
         return params
 
     logger.warning(
