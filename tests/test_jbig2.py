@@ -1,0 +1,222 @@
+"""JBIG2 decoder (native/jbig2.cpp) tests.
+
+The round-trip oracle is tests/jbig2_ref.py — an independent from-spec
+encoder (MQ coder + integer procedures + segment assembly).  The MMR path is
+additionally pinned against libtiff's Group-4 encoder (a real external
+implementation), mirroring the CCITT tests.
+"""
+
+import numpy as np
+import pytest
+
+from jbig2_ref import (
+    generic_region_segment,
+    page_info_segment,
+    symbol_dict_segment,
+    text_region_segment,
+)
+
+
+def _blob_bitmap(h, w, seed=0):
+    """Text-like bitonal test image: strokes and speckles, 1 = black."""
+    r = np.random.RandomState(seed)
+    bm = np.zeros((h, w), np.uint8)
+    for _ in range(max(3, h * w // 300)):
+        y0, x0 = r.randint(0, h), r.randint(0, w)
+        bh, bw = r.randint(1, 4), r.randint(2, 9)
+        bm[y0 : y0 + bh, x0 : x0 + bw] = 1
+    return bm
+
+
+def _decode(stream, w, h, globals_data=b""):
+    from yomitoku_tpu.native import jbig2_decode
+
+    return jbig2_decode(stream, w, h, globals_data=globals_data)
+
+
+@pytest.mark.parametrize("tmpl", [0, 1, 2, 3])
+def test_generic_region_roundtrip_templates(tmpl):
+    bm = _blob_bitmap(40, 61, seed=tmpl)
+    stream = page_info_segment(1, 61, 40) + generic_region_segment(
+        2, bm, tmpl=tmpl
+    )
+    out = _decode(stream, 61, 40)
+    np.testing.assert_array_equal(out, bm)
+
+
+@pytest.mark.parametrize("tmpl", [0, 2])
+def test_generic_region_roundtrip_tpgdon(tmpl):
+    # rows duplicated on purpose so typical prediction actually triggers
+    bm = _blob_bitmap(12, 50, seed=9)
+    bm = np.repeat(bm, 3, axis=0)
+    stream = page_info_segment(1, 50, 36) + generic_region_segment(
+        2, bm, tmpl=tmpl, tpgdon=True
+    )
+    out = _decode(stream, 50, 36)
+    np.testing.assert_array_equal(out, bm)
+
+
+def test_generic_region_custom_at_pixels():
+    bm = _blob_bitmap(30, 44, seed=3)
+    at = (2, -1, -2, -1, 1, -2, -1, -2)
+    stream = page_info_segment(1, 44, 30) + generic_region_segment(
+        2, bm, tmpl=0, at=at
+    )
+    out = _decode(stream, 44, 30)
+    np.testing.assert_array_equal(out, bm)
+
+
+def test_generic_region_offset_composition():
+    bm = _blob_bitmap(10, 20, seed=5)
+    stream = page_info_segment(1, 40, 30) + generic_region_segment(
+        2, bm, x=15, y=18
+    )
+    out = _decode(stream, 40, 30)
+    np.testing.assert_array_equal(out[18:28, 15:35], bm)
+    assert out[:18].sum() == 0 and out[:, :15].sum() == 0
+
+
+def test_generic_region_mmr_via_libtiff():
+    from test_pdf_render import _tiff_ccitt_strips
+
+    bm = _blob_bitmap(48, 64, seed=7)
+    g4 = _tiff_ccitt_strips(bm, "group4")
+    stream = page_info_segment(1, 64, 48) + generic_region_segment(
+        2, bm, mmr_data=g4
+    )
+    out = _decode(stream, 64, 48)
+    np.testing.assert_array_equal(out, bm)
+
+
+def _glyphs():
+    """Distinct small symbol bitmaps grouped by height."""
+    a = np.array([[1, 1, 1], [1, 0, 1], [1, 1, 1]], np.uint8)
+    b = np.array([[0, 1, 0, 0], [1, 1, 1, 1], [0, 1, 0, 0]], np.uint8)
+    c = np.array(
+        [[1, 0, 0, 0, 1], [0, 1, 0, 1, 0], [0, 0, 1, 0, 0], [0, 1, 0, 1, 0]],
+        np.uint8,
+    )
+    return [a, b, c]
+
+
+def test_symbol_dict_text_region_roundtrip():
+    syms = _glyphs()
+    instances = [(0, 2, 1), (1, 8, 1), (2, 15, 1), (1, 2, 8), (0, 10, 9)]
+    w, h = 26, 16
+    stream = (
+        page_info_segment(1, w, h)
+        + symbol_dict_segment(2, syms)
+        + text_region_segment(3, 2, w, h, instances, syms)
+    )
+    out = _decode(stream, w, h)
+    want = np.zeros((h, w), np.uint8)
+    for sid, x, y in instances:
+        s = syms[sid]
+        want[y : y + s.shape[0], x : x + s.shape[1]] |= s
+    np.testing.assert_array_equal(out, want)
+
+
+def test_symbol_dict_in_globals_stream():
+    syms = _glyphs()
+    instances = [(2, 1, 2), (0, 9, 2)]
+    w, h = 18, 10
+    globals_data = symbol_dict_segment(2, syms)
+    stream = page_info_segment(1, w, h) + text_region_segment(
+        3, 2, w, h, instances, syms
+    )
+    out = _decode(stream, w, h, globals_data=globals_data)
+    want = np.zeros((h, w), np.uint8)
+    for sid, x, y in instances:
+        s = syms[sid]
+        want[y : y + s.shape[0], x : x + s.shape[1]] |= s
+    np.testing.assert_array_equal(out, want)
+
+
+def test_single_symbol_dictionary():
+    # SBSYMCODELEN floors at 1 bit for a one-symbol dictionary
+    syms = [_glyphs()[0]]
+    instances = [(0, 1, 1), (0, 6, 1)]
+    stream = (
+        page_info_segment(1, 12, 6)
+        + symbol_dict_segment(2, syms)
+        + text_region_segment(3, 2, 12, 6, instances, syms)
+    )
+    out = _decode(stream, 12, 6)
+    assert out[1:4, 1:4].sum() == 8 and out[1:4, 6:9].sum() == 8
+
+
+def test_unsupported_huffman_fails_loudly():
+    body = (1).to_bytes(2, "big")  # SDHUFF=1
+    from jbig2_ref import segment_header
+
+    stream = page_info_segment(1, 8, 8) + segment_header(
+        2, 0, length=len(body)
+    ) + body
+    with pytest.raises(ValueError, match="Huffman"):
+        _decode(stream, 8, 8)
+
+
+def test_corrupt_stream_fails_loudly():
+    with pytest.raises(ValueError):
+        _decode(b"\x00\x01\x02", 8, 8)
+
+
+def test_pdf_jbig2_image_renders(tmp_path):
+    """End-to-end: a PDF whose image is a JBIG2 generic region renders."""
+    from test_pdf_render import _build_pdf
+
+    from yomitoku_tpu.data.pdf import load_pdf
+
+    bm = _blob_bitmap(60, 80, seed=11)
+    stream = page_info_segment(1, 80, 60) + generic_region_segment(2, bm)
+    path = tmp_path / "jbig2.pdf"
+    _build_pdf(
+        path,
+        "<< /Type /XObject /Subtype /Image /Width 80 /Height 60 "
+        "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode "
+        f"/Length {len(stream)} >>",
+        stream,
+        80,
+        60,
+    )
+    pages = load_pdf(str(path), dpi=72)
+    img = pages[0]
+    # rendered page: black where bm == 1 (BGR image, white background)
+    gray = img.mean(axis=2)
+    scale_y, scale_x = gray.shape[0] / 60, gray.shape[1] / 80
+    black_frac_inside = []
+    ys, xs = np.nonzero(bm)
+    for y, x in zip(ys[:50], xs[:50]):
+        py, px = int((y + 0.5) * scale_y), int((x + 0.5) * scale_x)
+        black_frac_inside.append(gray[py, px] < 128)
+    assert np.mean(black_frac_inside) > 0.8
+    assert gray[2, 2] > 200  # background stays white
+
+
+def test_pdf_jbig2_with_globals(tmp_path):
+    from test_pdf_render import _build_pdf
+
+    from yomitoku_tpu.data.pdf import load_pdf
+
+    syms = _glyphs()
+    instances = [(0, 10, 10), (1, 30, 10), (2, 50, 10)]
+    globals_data = symbol_dict_segment(2, syms)
+    stream = page_info_segment(1, 80, 40) + text_region_segment(
+        3, 2, 80, 40, instances, syms
+    )
+    path = tmp_path / "jbig2g.pdf"
+    # globals go in a separate stream object referenced by DecodeParms
+    _build_pdf(
+        path,
+        "<< /Type /XObject /Subtype /Image /Width 80 /Height 40 "
+        "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode "
+        "/DecodeParms << /JBIG2Globals 6 0 R >> "
+        f"/Length {len(stream)} >>",
+        stream,
+        80,
+        40,
+        extra_stream_objects=[globals_data],
+    )
+    pages = load_pdf(str(path), dpi=72)
+    gray = pages[0].mean(axis=2)
+    assert (gray < 128).sum() > 10  # the glyphs made it onto the page

@@ -165,7 +165,9 @@ def test_ccitt_decode_truncated_stream_is_loud_and_white():
 
 
 def _build_pdf(path, image_dict: str, image_data: bytes, w: int, h: int,
-               content: str = None):
+               content: str = None, extra_stream_objects=()):
+    """extra_stream_objects: raw stream payloads appended as objects 6, 7, …
+    (e.g. a /JBIG2Globals stream referenced as "6 0 R" from image_dict)."""
     if content is None:
         content = f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q"
     content_b = content.encode()
@@ -180,6 +182,11 @@ def _build_pdf(path, image_dict: str, image_data: bytes, w: int, h: int,
         f"<< /Length {len(content_b)} >>".encode()
         + b"\nstream\n" + content_b + b"\nendstream",
     ]
+    for data in extra_stream_objects:
+        objs.append(
+            f"<< /Length {len(data)} >>".encode()
+            + b"\nstream\n" + data + b"\nendstream"
+        )
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for i, o in enumerate(objs, 1):

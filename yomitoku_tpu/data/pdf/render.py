@@ -9,11 +9,12 @@ quantized transform).
 
 Supported: q/Q/cm/gs(alpha), path construction + fill (nonzero/evenodd) +
 stroke + clip, text (Type0 CID fonts w/ Identity-H|V, simple
-Type1C/TrueType), image XObjects (DCT/JPX/Flate/CCITT G3+G4 fax,
-gray/rgb/cmyk/indexed, image masks, SMask alpha), form XObjects.
-Shadings and shading patterns paint their average colour (flat
-approximation — keeps gradient backgrounds from rendering as holes);
-tiling patterns and JBIG2 images are skipped with a warning.
+Type1C/TrueType), image XObjects (DCT/JPX/Flate/CCITT G3+G4 fax/JBIG2
+incl. JBIG2Globals, gray/rgb/cmyk/indexed, image masks, SMask alpha),
+form XObjects.  Shadings and shading patterns paint their average colour
+(flat approximation — keeps gradient backgrounds from rendering as
+holes); tiling patterns and the rare JBIG2 sub-modes (Huffman symbol
+coding, halftones) are skipped with a warning.
 """
 
 import struct
@@ -1104,13 +1105,35 @@ class PageRenderer:
             return img[:, :, ::-1], None  # to RGB
 
         if "JBIG2Decode" in filters:
-            # A from-scratch JBIG2 decoder is out of scope; fail loudly and
-            # leave the region blank instead of misreading encoded bytes as
-            # raw pixels (the reference decodes these via pdfium).
-            logger.warning(
-                "JBIG2-encoded image skipped (no decoder); region left blank"
-            )
-            return None, None
+            # From-scratch decoder in native/jbig2.cpp (the reference decodes
+            # these via pdfium).  Unsupported sub-features (Huffman symbol
+            # coding, halftones) fail loudly and leave the region blank.
+            from ...native import jbig2_decode
+
+            parms = self._filter_parms(d, "JBIG2Decode")
+            gobj = doc.resolve(parms.get("JBIG2Globals"))
+            gdata = b""
+            if isinstance(gobj, Stream):
+                gdata = doc.get_stream_data(gobj)
+            elif isinstance(gobj, bytes):
+                gdata = gobj
+            try:
+                black = jbig2_decode(xo.raw, w, h, globals_data=gdata)
+            except Exception as e:
+                logger.warning(
+                    "JBIG2 image decode failed (%s); region left blank", e
+                )
+                return None, None
+            # The JBIG2Decode filter delivers 1 = black; PDF 1-bpc gray
+            # samples are 0 = black, so invert into sample space.
+            bits = (1 - black).astype(np.uint8)
+            if mask_flag:
+                decode = doc.resolve(d.get(Name("Decode")))
+                if decode and float(doc.resolve(decode[0])) == 1:
+                    bits = 1 - bits
+                return None, (1 - bits).astype(np.uint8) * 255
+            img = np.repeat((bits * 255)[..., None], 3, axis=2)
+            return img, None
 
         data = decode_stream(xo.raw, d, doc.resolve)
 

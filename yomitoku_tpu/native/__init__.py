@@ -5,7 +5,10 @@ Components:
     renderer (the reference's equivalent lives in pdfium C++);
   * dbnet_post.cpp — DBNet probability-map postprocessing: run-length
     connected components, rotating-calipers min-area rects, analytic
-    unclip (the reference's equivalents live in OpenCV + pyclipper C++).
+    unclip (the reference's equivalents live in OpenCV + pyclipper C++);
+  * ccitt.cpp — CCITT Group 3/4 fax decoder for scanned PDFs;
+  * jbig2.cpp — JBIG2 (T.88) decoder for the PDF JBIG2Decode filter
+    (generic + symbol/text regions, MQ arithmetic coding, MMR).
 """
 
 import ctypes
@@ -189,6 +192,58 @@ def dbnet_boxes(
         [q.tolist() for q in quads[:n]],
         [float(s) for s in scores[:n]],
     )
+
+
+def _load_jbig2():
+    lib = _load_lib("jbig2")
+    if not getattr(lib, "_sig_done", False):
+        lib.jbig2_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.jbig2_decode.restype = ctypes.c_int
+        lib.jbig2_last_error.argtypes = []
+        lib.jbig2_last_error.restype = ctypes.c_char_p
+        lib._sig_done = True
+    return lib
+
+
+def jbig2_decode(data: bytes, width: int, height: int, globals_data: bytes = b"") -> np.ndarray:
+    """Decode a PDF-embedded JBIG2 stream -> (height, width) uint8, 1 = black.
+
+    ``globals_data`` is the optional /JBIG2Globals stream (shared symbol
+    dictionaries).  Raises ValueError with the decoder's message on
+    unsupported or corrupt streams.  Native equivalent of the pdfium JBIG2
+    decoder the reference uses via pypdfium2 (/root/reference/src/yomitoku/
+    data/functions.py:96-155); see native/jbig2.cpp.
+    """
+    if width <= 0 or height <= 0:
+        return np.zeros((max(height, 0), max(width, 0)), np.uint8)
+    lib = _load_jbig2()
+    buf = np.frombuffer(data, np.uint8)
+    gbuf = np.frombuffer(globals_data, np.uint8)
+    out = np.zeros((height, width), np.uint8)
+    null_u8 = ctypes.POINTER(ctypes.c_uint8)()
+    r = lib.jbig2_decode(
+        gbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) if len(gbuf) else null_u8,
+        ctypes.c_long(len(gbuf)),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) if len(buf) else null_u8,
+        ctypes.c_long(len(buf)),
+        int(width),
+        int(height),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if r != 0:
+        msg = lib.jbig2_last_error()
+        raise ValueError(
+            "JBIG2 decode failed: %s" % (msg.decode("utf-8", "replace") if msg else "?")
+        )
+    return out
 
 
 def _load_ccitt():
