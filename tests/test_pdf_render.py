@@ -392,3 +392,51 @@ def test_pdf_shading_pattern_fill(tmp_path):
     px = page[30, 50]
     assert abs(int(px.mean()) - 51) < 25  # avg gray 0.2 -> ~51
     assert (page[5, 5] > 240).all()  # outside the rect
+
+
+def test_pdf_tiling_pattern_fill_average_color(tmp_path):
+    """Colored tiling pattern: cell half-covered in red -> pink-ish flat
+    fill (average of red ink and white background), not a hole."""
+    from yomitoku_tpu.data import load_pdf
+
+    cell = "1 0 0 rg 0 0 10 5 re f"
+    pattern = (
+        "<< /PatternType 1 /PaintType 1 /TilingType 1 "
+        "/BBox [0 0 10 10] /XStep 10 /YStep 10 "
+        f"/Resources << >> /Length {len(cell)} >>\n"
+        f"stream\n{cell}\nendstream"
+    )
+    extra = "/Pattern << /P0 4 0 R >>"
+    content = "/Pattern cs /P0 scn 10 10 80 40 re f"
+    pdf = _build_shading_pdf(
+        tmp_path / "tile.pdf", pattern, content, extra_res=extra
+    )
+    page = load_pdf(pdf, dpi=72)[0]  # BGR
+    px = page[30, 50]
+    assert int(px[2]) > 200          # red channel near full
+    assert 90 < int(px[0]) < 170     # blue/green ~half (white mixed in)
+    assert 90 < int(px[1]) < 170
+    assert (page[5, 5] > 240).all()  # outside the rect stays white
+
+
+def test_pdf_uncolored_tiling_pattern_uses_fill_color(tmp_path):
+    """PaintType 2 (stencil) tiling: cell coverage colours with the scn
+    colour components."""
+    from yomitoku_tpu.data import load_pdf
+
+    cell = "0 0 10 5 re f"  # half the cell, painted in the under colour
+    pattern = (
+        "<< /PatternType 1 /PaintType 2 /TilingType 1 "
+        "/BBox [0 0 10 10] /XStep 10 /YStep 10 "
+        f"/Resources << >> /Length {len(cell)} >>\n"
+        f"stream\n{cell}\nendstream"
+    )
+    extra = "/Pattern << /P0 4 0 R >>"
+    content = "/Pattern cs 0 0 1 /P0 scn 10 10 80 40 re f"  # blue under
+    pdf = _build_shading_pdf(
+        tmp_path / "tile2.pdf", pattern, content, extra_res=extra
+    )
+    page = load_pdf(pdf, dpi=72)[0]  # BGR
+    px = page[30, 50]
+    assert int(px[0]) > 200          # blue stays full
+    assert 90 < int(px[2]) < 170     # red ~half: white+blue mix

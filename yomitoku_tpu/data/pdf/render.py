@@ -11,10 +11,10 @@ Supported: q/Q/cm/gs(alpha), path construction + fill (nonzero/evenodd) +
 stroke + clip, text (Type0 CID fonts w/ Identity-H|V, simple
 Type1C/TrueType), image XObjects (DCT/JPX/Flate/CCITT G3+G4 fax/JBIG2
 incl. JBIG2Globals, gray/rgb/cmyk/indexed, image masks, SMask alpha),
-form XObjects.  Shadings and shading patterns paint their average colour
-(flat approximation — keeps gradient backgrounds from rendering as
-holes); tiling patterns and the rare JBIG2 sub-modes (Huffman symbol
-coding, halftones) are skipped with a warning.
+form XObjects.  Shadings, shading patterns, and tiling patterns paint
+their average colour (flat approximation — keeps gradient/hatched
+backgrounds from rendering as holes); the rare JBIG2 sub-modes (Huffman
+symbol coding, halftones) are skipped with a warning.
 """
 
 import struct
@@ -557,11 +557,18 @@ class PageRenderer:
                             pat.dict if isinstance(pat, Stream)
                             else pat if isinstance(pat, dict) else None
                         )
-                        if pd is not None and int(
-                            doc.resolve(pd.get(Name("PatternType"), 1)) or 1
-                        ) == 2:
+                        ptype = int(
+                            doc.resolve((pd or {}).get(Name("PatternType"), 1))
+                            or 1
+                        )
+                        if pd is not None and ptype == 2:
                             pat_col = self._shading_avg_color(
                                 doc.resolve(pd.get(Name("Shading")))
+                            )
+                        elif pd is not None and ptype == 1:
+                            pat_col = self._tiling_avg_color(
+                                pat,
+                                under_color=col if nums else None,
                             )
                     if op in ("sc", "scn"):
                         if pat_col is not None:
@@ -1004,6 +1011,59 @@ class PageRenderer:
         else:
             rgb = (comps[0],) * 3
         return tuple(min(max(float(v), 0.0), 1.0) for v in rgb)
+
+    def _tiling_avg_color(self, pat, under_color=None):
+        """Average RGB colour of a tiling pattern (PatternType 1) cell.
+
+        The cell content stream is rendered once at low resolution on a
+        white background and averaged — the same flat approximation used
+        for shadings (the reference renders true tiles via pdfium; for
+        document AI a flat fill preserves detection behaviour).  For
+        uncoloured patterns (PaintType 2) the cell paints in black and
+        ``under_color`` is applied at the cell's ink coverage."""
+        doc = self.doc
+        if not isinstance(pat, Stream):
+            return None
+        d = pat.dict
+        cache = getattr(self, "_tile_avg_cache", None)
+        if cache is None:
+            cache = self._tile_avg_cache = {}
+        key = (id(pat), under_color)
+        if key in cache:
+            return cache[key]
+        col = None
+        try:
+            bbox = [
+                float(doc.resolve(v))
+                for v in doc.resolve(d.get(Name("BBox")))
+            ]
+            bx0, by0 = min(bbox[0], bbox[2]), min(bbox[1], bbox[3])
+            bw = max(abs(bbox[2] - bbox[0]), 1e-6)
+            bh = max(abs(bbox[3] - bbox[1]), 1e-6)
+            tw = int(min(max(round(bw), 2), 48))
+            th = int(min(max(round(bh), 2), 48))
+            sub = PageRenderer(doc, dpi=72)
+            sub.w, sub.h = tw, th
+            sub.canvas = np.full((th, tw, 3), 255.0, np.float32)
+            sx, sy = tw / bw, th / bh
+            base = (sx, 0.0, 0.0, -sy, -bx0 * sx, (by0 + bh) * sy)
+            res = doc.resolve(d.get(Name("Resources"))) or {}
+            sub._run(doc.get_stream_data(pat), res, _GState(base, None))
+            mean = sub.canvas.reshape(-1, 3).mean(axis=0) / 255.0
+            paint_type = int(doc.resolve(d.get(Name("PaintType"), 1)) or 1)
+            if paint_type == 2 and under_color is not None:
+                # stencil: cell ink coverage colours with the current fill
+                cov = min(max(1.0 - float(mean.mean()), 0.0), 1.0)
+                col = tuple(
+                    1.0 - cov + cov * min(max(float(c), 0.0), 1.0)
+                    for c in under_color
+                )
+            else:
+                col = tuple(min(max(float(v), 0.0), 1.0) for v in mean)
+        except Exception:
+            col = None
+        cache[key] = col
+        return col
 
     def _paint_region(self, color, state):
         """Flat-fill the current clip region (whole page when unclipped)."""
