@@ -299,10 +299,12 @@ def run_e2e(device="tpu", warmup=2, iters=8):
     pipelined_s = rounds[median_idx]
 
     # single-chip A/B of the page-DP path: same fused kernels, but pages
-    # batched 4-deep into ONE det+layout+TSR dispatch (the program the dp
-    # mesh shards page-parallel on a real slice) instead of per-page
-    # dispatches.  Guards VERDICT r3 weak #1: the DP path must not ship a
-    # slower cost model than the pipelined per-page path.
+    # batched chunk-deep (default 2 on one chip) into ONE det+layout+TSR
+    # dispatch (the program the dp mesh shards page-parallel on a real
+    # slice), chunks pipelined two-deep against the host tails.  Guards
+    # VERDICT r3 weak #1: the DP path must not ship a slower cost model
+    # than the pipelined per-page path.  Note both numbers ride the same
+    # minute-scale tunnel-bandwidth swings; compare within a window.
     from yomitoku_tpu.ops.device_crop import device_crops_enabled
 
     dp_s = None
@@ -676,14 +678,48 @@ def _wait_for_device(max_wait_s=None):
 def main():
     from yomitoku_tpu.base import enable_compilation_cache
 
+    # Time budget: the driver runs this under an external timeout, and a
+    # cold XLA-compile-cache host pays ~10 min of compiles before the
+    # first number.  The flagship e2e phase always runs; the optional
+    # phases below are skipped (reported null + note) once the budget is
+    # spent, so the one JSON line is printed no matter what.
+    t_start = time.time()
+    budget_s = float(os.environ.get("YOMITOKU_TPU_BENCH_BUDGET_S", "1500"))
+
+    def budget_left():
+        return budget_s - (time.time() - t_start)
+
+    skipped = []
+
     _wait_for_device()
     enable_compilation_cache()
 
     link_lat_ms, link_bw_mbs = measure_link()
     page_s, latency_s, workload, stages, early_page_s, dp_page_s = run_e2e()
     pages_per_sec = 1.0 / page_s
-    sem_page_s, sem_latency_s, sem_workload, sem_stages = run_semantic_e2e()
-    early_rec_s, _ = run_early_exit(k=25)
+
+    # TableSemanticParser pipeline: the expensive optional phase (the
+    # CellDetector 2500-query program is a multi-minute cold compile).
+    sem_page_s = sem_latency_s = None
+    sem_workload = sem_stages = None
+    if budget_left() > 240:
+        try:
+            sem_page_s, sem_latency_s, sem_workload, sem_stages = (
+                run_semantic_e2e()
+            )
+        except Exception as e:  # keep the flagship line alive
+            skipped.append(f"table_semantic: {type(e).__name__}")
+    else:
+        skipped.append("table_semantic: over budget")
+
+    early_rec_s = None
+    if budget_left() > 90:
+        try:
+            early_rec_s, _ = run_early_exit(k=25)
+        except Exception as e:
+            skipped.append(f"early_exit: {type(e).__name__}")
+    else:
+        skipped.append("early_exit: over budget")
 
     # link floor: per-page bytes at the measured bandwidth + one
     # round-trip per device sync — the best any host pipeline on this
@@ -702,16 +738,38 @@ def main():
     from yomitoku_tpu.document_analyzer import DocumentAnalyzer as _DA
 
     depth = inspect.signature(_DA.batch).parameters["max_in_flight"].default
-    practical_floor_ms = measure_practical_floor(stages, depth=depth)
+    practical_floor_ms = None
+    if budget_left() > 90:
+        try:
+            practical_floor_ms = measure_practical_floor(stages, depth=depth)
+        except Exception as e:
+            skipped.append(f"practical_floor: {type(e).__name__}")
+    else:
+        skipped.append("practical_floor: over budget")
 
-    det_s, lay_s, rec_s = run_device_composite()
-    device_page_s = det_s + 3 * lay_s + rec_s
+    det_s = lay_s = rec_s = None
+    if budget_left() > 60:
+        try:
+            det_s, lay_s, rec_s = run_device_composite()
+        except Exception as e:
+            skipped.append(f"device_composite: {type(e).__name__}")
+    else:
+        skipped.append("device_composite: over budget")
+    device_page_s = (
+        det_s + 3 * lay_s + rec_s if det_s is not None else None
+    )
 
     cpu_page_s = (
         TORCH_CPU_DET_S
         + 3 * TORCH_CPU_RTDETR_S
         + 128 / TORCH_CPU_PARSEQ_LARGE_LPS
     )
+
+    def inv(x, nd=2):
+        return round(1.0 / x, nd) if x else None
+
+    def ms(x, nd=1):
+        return round(x * 1e3, nd) if x is not None else None
 
     print(
         json.dumps(
@@ -721,14 +779,16 @@ def main():
                 "unit": "pages/sec",
                 "vs_baseline": round(pages_per_sec * cpu_page_s, 1),
                 "detail": {
-                    "e2e_pipelined_page_ms": round(page_s * 1e3, 1),
-                    "e2e_single_page_latency_ms": round(latency_s * 1e3, 1),
+                    "e2e_pipelined_page_ms": ms(page_s),
+                    "e2e_single_page_latency_ms": ms(latency_s),
                     "link_roundtrip_ms": link_lat_ms,
                     "link_bandwidth_mb_s": link_bw_mbs,
                     "stages_per_page": stages,
                     "link_floor_ms_per_page": round(link_floor_ms, 1),
-                    "practical_transfer_floor_ms_per_page": round(
-                        practical_floor_ms, 1
+                    "practical_transfer_floor_ms_per_page": (
+                        round(practical_floor_ms, 1)
+                        if practical_floor_ms is not None
+                        else None
                     ),
                     # measured in its own time window on a link whose
                     # bandwidth swings 2-4x minute-to-minute: e2e medians
@@ -736,35 +796,27 @@ def main():
                     # measure_practical_floor docstring)
                     "floor_note": "same-schedule reference +- link-window variance, not a per-run bound",
                     "workload": workload,
-                    "table_semantic_e2e_pages_per_sec": round(
-                        1.0 / sem_page_s, 2
-                    ),
-                    "table_semantic_e2e_pipelined_page_ms": round(
-                        sem_page_s * 1e3, 1
-                    ),
-                    "table_semantic_single_page_latency_ms": round(
-                        sem_latency_s * 1e3, 1
-                    ),
+                    "table_semantic_e2e_pages_per_sec": inv(sem_page_s),
+                    "table_semantic_e2e_pipelined_page_ms": ms(sem_page_s),
+                    "table_semantic_single_page_latency_ms": ms(sem_latency_s),
                     "table_semantic_stages_per_page": sem_stages,
                     "table_semantic_workload": sem_workload,
-                    "device_composite_pages_per_sec": round(
-                        1.0 / device_page_s, 2
+                    "device_composite_pages_per_sec": inv(device_page_s),
+                    "dbnet_1280x960_ms": ms(det_s, 2),
+                    "rtdetr_640_ms": ms(lay_s, 2),
+                    "parseq_large_b128_lines_per_sec": (
+                        round(128 / rec_s, 1) if rec_s else None
                     ),
-                    "dbnet_1280x960_ms": round(det_s * 1e3, 2),
-                    "rtdetr_640_ms": round(lay_s * 1e3, 2),
-                    "parseq_large_b128_lines_per_sec": round(128 / rec_s, 1),
-                    "parseq_large_b128_lines_per_sec_earlyexit_k25": round(
-                        128 / early_rec_s, 1
+                    "parseq_large_b128_lines_per_sec_earlyexit_k25": (
+                        round(128 / early_rec_s, 1) if early_rec_s else None
                     ),
-                    "e2e_pages_per_sec_earlyexit_k25": round(
-                        1.0 / early_page_s, 2
-                    ),
-                    # page-DP path A/B on one chip (4-page fused batches;
-                    # the dp mesh shards this same program page-parallel)
-                    "dp_batch_pages_per_sec": (
-                        round(1.0 / dp_page_s, 2) if dp_page_s else None
-                    ),
+                    "e2e_pages_per_sec_earlyexit_k25": inv(early_page_s),
+                    # page-DP path A/B on one chip (chunked fused batches,
+                    # pipelined; the dp mesh shards the same program
+                    # page-parallel)
+                    "dp_batch_pages_per_sec": inv(dp_page_s),
                     "torch_cpu_page_s_lower_bound": round(cpu_page_s, 1),
+                    "skipped_phases": skipped or None,
                 },
             }
         )

@@ -287,3 +287,77 @@ def test_document_analyzer_batch_page_dp():
     first = results[0][0].model_dump()
     for res, _, _ in results[1:]:
         assert res.model_dump() == first
+
+
+def test_batch_dp_fused_singlechip_chunks_match_solo(monkeypatch):
+    """The fused page-DP path without a mesh (single-chip batching): 3
+    distinct pages through chunk size 2 — one full chunk plus one padded
+    chunk — must match the per-page solo path, and the chunk pipeline
+    must preserve input order."""
+    monkeypatch.setenv("YOMITOKU_TPU_DEVICE_CROPS", "1")
+    monkeypatch.setenv("YOMITOKU_TPU_DP_CHUNK", "2")
+    from yomitoku_tpu.document_analyzer import DocumentAnalyzer
+
+    cfgs = {
+        "ocr": {
+            "text_detector": {
+                "path_cfg": "tests/yaml/det_small.yaml",
+                "from_pretrained": False,
+            },
+            "text_recognizer": {
+                "path_cfg": "tests/yaml/rec_small.yaml",
+                "from_pretrained": False,
+            },
+        },
+        "layout_analyzer": {
+            "layout_parser": {
+                "path_cfg": "tests/yaml/layout_small.yaml",
+                "from_pretrained": False,
+            },
+            "table_structure_recognizer": {
+                "path_cfg": "tests/yaml/layout_small.yaml",
+                "from_pretrained": False,
+            },
+        },
+    }
+    analyzer = DocumentAnalyzer(configs=cfgs, device="cpu")
+    solo = DocumentAnalyzer(configs=cfgs, device="cpu")
+    for a, b in (
+        (analyzer.text_detector, solo.text_detector),
+        (analyzer.text_recognizer, solo.text_recognizer),
+        (analyzer.layout.layout_parser, solo.layout.layout_parser),
+        (
+            analyzer.layout.table_structure_recognizer,
+            solo.layout.table_structure_recognizer,
+        ),
+    ):
+        b.model.params = a.model.params
+
+    rng = np.random.RandomState(11)
+    pages = []
+    for s in range(3):
+        p = np.full((160, 240, 3), 255, np.uint8)
+        for _ in range(6):
+            x0, y0 = rng.randint(0, 150), rng.randint(0, 120)
+            p[y0 : y0 + 18, x0 : x0 + 60] = rng.randint(0, 120, 3)
+        pages.append(p)
+
+    results = analyzer._batch_dp_fused(pages)
+    assert len(results) == 3
+
+    def _close(a, b):
+        if isinstance(a, dict):
+            return a.keys() == b.keys() and all(
+                _close(a[k], b[k]) for k in a
+            )
+        if isinstance(a, (list, tuple)):
+            return len(a) == len(b) and all(
+                _close(x, y) for x, y in zip(a, b)
+            )
+        if isinstance(a, float) or isinstance(b, float):
+            return abs(float(a) - float(b)) <= 2.0 / 255.0
+        return a == b
+
+    for i, (res, _, _) in enumerate(results):
+        want = solo(pages[i])[0].model_dump()
+        assert _close(want, res.model_dump()), f"page {i} diverges"

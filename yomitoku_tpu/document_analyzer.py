@@ -18,6 +18,7 @@ its own jitted XLA program so the host threads just drive dispatch.
 
 import asyncio
 import math
+import os
 import re
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -793,9 +794,14 @@ class DocumentAnalyzer:
         lp = self.layout.layout_parser
         tsr = self.layout.table_structure_recognizer
         mesh = dp_mesh(self.num_devices)
-        chunk_pages = (
-            mesh.shape["dp"] if mesh is not None else min(len(imgs), 4)
-        )
+        if mesh is not None:
+            chunk_pages = mesh.shape["dp"]
+        else:
+            # single chip: batch depth trades dispatch count against
+            # per-sync payload; 2 measured best on the transfer-bound
+            # tunnel (see bench.py dp_batch_pages_per_sec)
+            chunk_pages = int(os.environ.get("YOMITOKU_TPU_DP_CHUNK", "2"))
+            chunk_pages = max(1, min(len(imgs), chunk_pages))
         lay_hw = tuple(lp._cfg.data.img_size)
         tsr_hw = tuple(tsr._cfg.data.img_size)
 
@@ -811,40 +817,68 @@ class DocumentAnalyzer:
             padded[i] = pad_page(img)
             groups[(padded[i].shape, det_hw)].append(i)
 
+        def _post_one(i, page_view, wire):
+            # host tail of one page: contour/unpack readback, recognizer
+            # dispatch+sync, tokenize, aggregation — all thread-safe (the
+            # threaded batch() path exercises the same calls concurrently)
+            results_det, _, layout_schema = self._fused_host_postwire(
+                imgs[i], page_view, *wire
+            )
+            results_rec, _ = self.text_recognizer(
+                imgs[i], results_det.points, None, page=page_view
+            )
+            results_ocr = OCRSchema(
+                words=ocr_aggregate(results_det, results_rec)
+            )
+            outputs = self.aggregate(results_ocr, layout_schema)
+            return (DocumentAnalyzerSchema(**outputs), None, None)
+
+        # Pipeline chunks: the fused dispatch is async, so chunk k+1's
+        # upload+dispatch overlaps chunk k's host tails (which hold the
+        # syncs).  A bounded window keeps at most two chunks' device
+        # buffers in flight (per-chunk: dp pages u8 + ~2 MB wire).
         results = [None] * len(imgs)
-        for (pshape, det_hw), members in groups.items():
-            for s in range(0, len(members), chunk_pages):
-                ids = members[s : s + chunk_pages]
-                # pad the chunk to the program's page count by repeating
-                # the first page (keeps ONE compiled program per bucket;
-                # padded lanes' outputs are dropped)
-                pad_ids = ids + [ids[0]] * (chunk_pages - len(ids))
-                stack = np.stack([padded[i] for i in pad_ids])
-                if mesh is not None:
-                    pages_dev = jax.device_put(
-                        stack, batch_sharding(mesh, stack.ndim)
+        from collections import deque
+
+        window = deque()  # [(ids, futures)]
+        with ThreadPoolExecutor(max_workers=max(2, chunk_pages)) as ex:
+
+            def _drain(entry):
+                for i, fut in entry:
+                    results[i] = fut.result()
+
+            for (pshape, det_hw), members in groups.items():
+                for s in range(0, len(members), chunk_pages):
+                    ids = members[s : s + chunk_pages]
+                    # pad the chunk to the program's page count by
+                    # repeating the first page (keeps ONE compiled program
+                    # per bucket; padded lanes' outputs are dropped)
+                    pad_ids = ids + [ids[0]] * (chunk_pages - len(ids))
+                    stack = np.stack([padded[i] for i in pad_ids])
+                    if mesh is not None:
+                        pages_dev = jax.device_put(
+                            stack, batch_sharding(mesh, stack.ndim)
+                        )
+                    else:
+                        pages_dev = jnp.asarray(stack)
+                    hws = [imgs[i].shape[:2] for i in pad_ids]
+                    per_page = prog.batch_call(
+                        pages_dev, hws, det_hw, lay_hw, tsr_hw
                     )
-                else:
-                    pages_dev = jnp.asarray(stack)
-                hws = [imgs[i].shape[:2] for i in pad_ids]
-                per_page = prog.batch_call(
-                    pages_dev, hws, det_hw, lay_hw, tsr_hw
-                )
-                for j, i in enumerate(ids):
-                    page_view = SimpleNamespace(
-                        dev=pages_dev[j], hw=tuple(imgs[i].shape[:2])
-                    )
-                    results_det, _, layout_schema = self._fused_host_postwire(
-                        imgs[i], page_view, *per_page[j]
-                    )
-                    results_rec, _ = self.text_recognizer(
-                        imgs[i], results_det.points, None, page=page_view
-                    )
-                    results_ocr = OCRSchema(
-                        words=ocr_aggregate(results_det, results_rec)
-                    )
-                    outputs = self.aggregate(results_ocr, layout_schema)
-                    results[i] = (DocumentAnalyzerSchema(**outputs), None, None)
+                    entry = []
+                    for j, i in enumerate(ids):
+                        page_view = SimpleNamespace(
+                            dev=pages_dev[j], hw=tuple(imgs[i].shape[:2])
+                        )
+                        entry.append(
+                            (i, ex.submit(_post_one, i, page_view,
+                                          per_page[j]))
+                        )
+                    window.append(entry)
+                    if len(window) > 2:
+                        _drain(window.popleft())
+            while window:
+                _drain(window.popleft())
         return results
 
     def _batch_dp_host(self, imgs):
