@@ -440,3 +440,32 @@ def test_pdf_uncolored_tiling_pattern_uses_fill_color(tmp_path):
     px = page[30, 50]
     assert int(px[0]) > 200          # blue stays full
     assert 90 < int(px[2]) < 170     # red ~half: white+blue mix
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    ["empty", "garbage", "header_only", "truncated_half", "no_trailer"],
+)
+def test_pdf_corrupt_inputs_fail_clean_or_salvage(tmp_path, mutate):
+    """Corrupt inputs either raise the loader's ValueError (like the
+    reference's pdfium error path, data/functions.py:96-155) or salvage
+    pages via xref reconstruction — never crash with an internal error."""
+    from yomitoku_tpu.data import load_pdf
+
+    good = open("/root/reference/tests/data/test.pdf", "rb").read()
+    data = {
+        "empty": b"",
+        "garbage": b"not a pdf at all" * 100,
+        "header_only": b"%PDF-1.4\n",
+        "truncated_half": good[: len(good) // 2],
+        "no_trailer": good.replace(b"trailer", b"trXiler"),
+    }[mutate]
+    p = tmp_path / f"{mutate}.pdf"
+    p.write_bytes(data)
+    try:
+        pages = load_pdf(str(p))
+    except ValueError:
+        return  # clean refusal is fine
+    # salvage path: whatever loads must rasterize to real page images
+    for pg in pages:
+        assert pg.ndim == 3 and pg.dtype == np.uint8 and pg.shape[2] == 3
