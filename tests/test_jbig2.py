@@ -220,3 +220,37 @@ def test_pdf_jbig2_with_globals(tmp_path):
     pages = load_pdf(str(path), dpi=72)
     gray = pages[0].mean(axis=2)
     assert (gray < 128).sum() > 10  # the glyphs made it onto the page
+
+
+def test_jbig2_mutation_fuzz_never_crashes():
+    """Byte-level mutations of a valid stream must decode or raise
+    ValueError — never crash or hang (the C++ decoder bounds-checks all
+    reads and caps implausible symbol/instance counts)."""
+    syms = _glyphs()
+    instances = [(0, 2, 1), (1, 8, 1), (2, 15, 1)]
+    stream = bytearray(
+        page_info_segment(1, 26, 16)
+        + symbol_dict_segment(2, syms)
+        + text_region_segment(3, 2, 26, 16, instances, syms)
+    )
+    rng = np.random.RandomState(0)
+    for _ in range(300):
+        mutated = bytearray(stream)
+        for _ in range(rng.randint(1, 4)):
+            mutated[rng.randint(len(mutated))] = rng.randint(256)
+        try:
+            out = _decode(bytes(mutated), 26, 16)
+            assert out.shape == (16, 26)
+        except ValueError:
+            pass  # loud failure is fine
+
+
+def test_jbig2_truncation_fuzz_never_crashes():
+    bm = _blob_bitmap(24, 40, seed=2)
+    stream = page_info_segment(1, 40, 24) + generic_region_segment(2, bm)
+    for cut in range(0, len(stream), 7):
+        try:
+            out = _decode(stream[:cut], 40, 24)
+            assert out.shape == (24, 40)
+        except ValueError:
+            pass

@@ -679,6 +679,11 @@ struct Decoder {
       for (int i = 0; i < 4; i++) rat[i] = r.s8();
     }
     uint32_t numinstances = r.u32();
+    // corrupt streams can claim billions of instances; each instance
+    // covers >= 1 px, so region area bounds any plausible count
+    if (numinstances > ri.w * ri.h + 1024)
+      fail("implausible instance count %u for %ux%u region", numinstances,
+           ri.w, ri.h);
     int sbstrips = 1 << log2strips;
 
     std::vector<const J2Bitmap *> syms;
