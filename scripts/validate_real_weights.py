@@ -121,6 +121,19 @@ def validate_parseq(rng, crops=None):
     agree = float((ids_f32 == ids_q8).mean())
     print(f"parseq int8-K/V greedy agreement: {agree:.4f} "
           f"({'OK' if agree >= 0.999 else 'AUDIT: consider YOMITOKU_TPU_INT8_KV=0'})")
+
+    # width-bucket audit (opt-in YOMITOKU_TPU_REC_WIDTH_BUCKETS): greedy
+    # ids for narrow content at half canvas vs the full padded canvas —
+    # run before enabling the buckets in production
+    narrow = np.array(crops)
+    narrow[:, :, w // 2 :] = -1.0  # blank the right half (pad value)
+    ids_full, _ = model.forward_tokens(narrow)
+    ids_half, _ = model.forward_tokens(
+        np.ascontiguousarray(narrow[:, :, : w // 2])
+    )
+    agree_w = float((ids_full == ids_half).mean())
+    print(f"parseq width-bucket (w={w // 2}) greedy agreement: {agree_w:.4f} "
+          f"({'OK' if agree_w >= 0.999 else 'AUDIT: keep YOMITOKU_TPU_REC_WIDTH_BUCKETS unset'})")
     return ok
 
 

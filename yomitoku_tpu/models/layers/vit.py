@@ -32,7 +32,8 @@ class PatchEmbed(nn.Module):
             name="proj",
         )(x)
         B, Hp, Wp, D = x.shape
-        return x.reshape(B, Hp * Wp, D)  # row-major (H-major) token order
+        # row-major (H-major) token order; grid kept for pos-embed slicing
+        return x.reshape(B, Hp * Wp, D), (Hp, Wp)
 
 
 class EncoderBlock(nn.Module):
@@ -71,18 +72,23 @@ class ViTEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, 3) -> (B, N, D)
-        x = PatchEmbed(
+        x, (hp, wp) = PatchEmbed(
             self.embed_dim, self.patch_size, dtype=self.dtype, name="patch_embed"
         )(x)
-        n_patches = (self.img_size[0] // self.patch_size[0]) * (
-            self.img_size[1] // self.patch_size[1]
-        )
+        hp_full = self.img_size[0] // self.patch_size[0]
+        wp_full = self.img_size[1] // self.patch_size[1]
         pos_embed = self.param(
             "pos_embed",
             nn.initializers.truncated_normal(0.02),
-            (1, n_patches, self.embed_dim),
+            (1, hp_full * wp_full, self.embed_dim),
             jnp.float32,
         )
+        if (hp, wp) != (hp_full, wp_full):
+            # narrower/shorter input (recognizer width buckets): take the
+            # top-left sub-grid of the learned position embedding — token
+            # (i, j) keeps its trained embedding
+            pe = pos_embed.reshape(1, hp_full, wp_full, self.embed_dim)
+            pos_embed = pe[:, :hp, :wp].reshape(1, hp * wp, self.embed_dim)
         x = x + pos_embed.astype(self.dtype)
         for i in range(self.depth):
             x = EncoderBlock(

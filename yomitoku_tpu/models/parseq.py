@@ -237,11 +237,12 @@ class PARSeq(JaxModel):
             partial(self._forward_tokens, self), static_argnums=(2, 3)
         )
         self._tokens_page_fn = jax.jit(
-            partial(self._forward_tokens_from_page, self), static_argnums=(4, 5)
+            partial(self._forward_tokens_from_page, self),
+            static_argnums=(4, 5, 6),
         )
         self._tokens_page_sep_fn = jax.jit(
             partial(self._forward_tokens_from_page_separable, self),
-            static_argnums=(4, 5),
+            static_argnums=(4, 5, 6),
         )
 
     def audit_int8_kv(self, batch=None) -> bool:
@@ -569,15 +570,22 @@ class PARSeq(JaxModel):
 
     @staticmethod
     def _forward_tokens_from_page(self, params, page, mats, valid_wh,
-                                  decode_ar, refine_iters):
+                                  decode_ar, refine_iters, out_w=None):
         """Fused device program: crop all lines out of the uint8 page
         (one composed projective gather per line — see ops/device_crop.py),
         normalize, and decode.  The page uploads once per page; only the
         tiny (B, 3, 3) homographies and the packed (2, B, L) greedy result
-        cross the host boundary per batch."""
+        cross the host boundary per batch.
+
+        ``out_w`` (static) narrows the crop canvas for the recognizer's
+        opt-in width buckets: content placement is top-left anchored, so a
+        (32, out_w) crop of a line whose valid width fits is bit-identical
+        to the left slice of the full-width crop; the encoder slices its
+        position-embedding grid to match (models/layers/vit.py)."""
         from ..ops.device_crop import sample_lines
 
-        crops = sample_lines(page, mats, valid_wh, out_hw=self.core.img_size)
+        out_hw = (self.core.img_size[0], out_w or self.core.img_size[1])
+        crops = sample_lines(page, mats, valid_wh, out_hw=out_hw)
         images = crops * (1.0 / 127.5) - 1.0
         return PARSeq._forward_tokens(
             self, params, images, decode_ar, refine_iters
@@ -586,24 +594,26 @@ class PARSeq(JaxModel):
     @staticmethod
     def _forward_tokens_from_page_separable(self, params, page, mats,
                                             valid_wh, decode_ar,
-                                            refine_iters):
+                                            refine_iters, out_w=None):
         """As _forward_tokens_from_page, but crops via the separable MXU
         resample — valid only when every map is axis-(anti-)aligned (the
         host entry checks mats_separable before choosing this program)."""
         from ..ops.separable_resize import sample_lines_separable
 
+        out_hw = (self.core.img_size[0], out_w or self.core.img_size[1])
         crops = sample_lines_separable(
-            page, mats, valid_wh, out_hw=self.core.img_size
+            page, mats, valid_wh, out_hw=out_hw
         )
         images = crops * (1.0 / 127.5) - 1.0
         return PARSeq._forward_tokens(
             self, params, images, decode_ar, refine_iters
         )
 
-    def forward_tokens_from_page(self, page, mats, valid_wh):
+    def forward_tokens_from_page(self, page, mats, valid_wh, out_w=None):
         """Host entry: uint8 page (device array or ndarray; pad via
         ops.device_crop.pad_page first) + (B, 3, 3) canvas->page maps ->
-        (ids, probs).
+        (ids, probs).  ``out_w`` selects a narrower crop-canvas width
+        (recognizer width buckets; one extra compiled program per width).
 
         Batches whose maps are all axis-(anti-)aligned — unrotated
         horizontal/vertical lines, the overwhelmingly common case for
@@ -631,6 +641,7 @@ class PARSeq(JaxModel):
                 self.place_batch(np.asarray(valid_wh, np.int32)),
                 self.decode_ar,
                 int(self.refine_iters),
+                int(out_w) if out_w else None,
             )
         with segment(self.trace_stage, "sync", nbytes=dev.nbytes):
             packed = np.asarray(dev)

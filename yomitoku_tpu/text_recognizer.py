@@ -156,7 +156,7 @@ class TextRecognizer(BaseModule):
 
         return device_crops_enabled()
 
-    def _infer_padded_page(self, page, mats, valid_wh):
+    def _infer_padded_page(self, page, mats, valid_wh, out_w=None):
         """Bucket-pad the homography batch and run the fused
         crop+decode program (models/parseq.py forward_tokens_from_page)."""
         n = len(mats)
@@ -172,10 +172,69 @@ class TextRecognizer(BaseModule):
             )
             # zero extents mask the padded lanes to black crops
             valid_wh = np.concatenate([valid_wh, np.zeros((pad, 2), np.int32)])
-        ids, probs = self.model.forward_tokens_from_page(page, mats, valid_wh)
+        ids, probs = self.model.forward_tokens_from_page(
+            page, mats, valid_wh, out_w=out_w
+        )
         return ids[:n], probs[:n]
 
+    def _width_buckets(self):
+        """Opt-in recognizer width buckets (YOMITOKU_TPU_REC_WIDTH_BUCKETS,
+        e.g. "400" or "256,512").  Lines whose content fits a narrower
+        canvas run the encoder at that width — the crop is bit-identical
+        to the left slice of the full-width crop and the ViT slices its
+        position-embedding grid, but the model no longer sees the full
+        800-px padded canvas the reference always feeds it, so outputs
+        can differ from reference numerics.  Serving optimization for the
+        encoder-bound recognizer (~2x encoder FLOPs at w=400); validate
+        against real checkpoints before enabling in production."""
+        env = os.environ.get("YOMITOKU_TPU_REC_WIDTH_BUCKETS", "").strip()
+        if not env:
+            return None
+        full_w = int(self._cfg.data.img_size[1])
+        pw = int(self.model.core.enc_patch_size[1])
+        buckets = []
+        for tok in env.split(","):
+            tok = tok.strip()
+            if not tok:
+                continue
+            w = int(tok)
+            if 0 < w < full_w and w % pw == 0:
+                buckets.append(w)
+        return sorted(set(buckets)) or None
+
     def _run_batch_inference_page(self, page, mats, valid_wh, points):
+        """Opt-in width-bucket router (see _width_buckets), then per-group
+        crop-program routing."""
+        buckets = self._width_buckets()
+        if not buckets:
+            return self._run_batch_inference_page_w(
+                page, mats, valid_wh, points
+            )
+        n = len(mats)
+        assign = []
+        for i in range(n):
+            w = int(valid_wh[i][0])
+            assign.append(next((b for b in buckets if w <= b), None))
+        groups = {}
+        for i, b in enumerate(assign):
+            groups.setdefault(b, []).append(i)
+        if len(groups) == 1:
+            (b,) = groups
+            return self._run_batch_inference_page_w(
+                page, mats, valid_wh, points, out_w=b
+            )
+        preds, scores, directions = [None] * n, [None] * n, [None] * n
+        for b, idx in groups.items():
+            p, s, d = self._run_batch_inference_page_w(
+                page, mats[idx], valid_wh[idx],
+                [points[i] for i in idx], out_w=b,
+            )
+            for j, i in enumerate(idx):
+                preds[i], scores[i], directions[i] = p[j], s[j], d[j]
+        return preds, scores, directions
+
+    def _run_batch_inference_page_w(self, page, mats, valid_wh, points,
+                                    out_w=None):
         """Route each line to the right crop program, then decode in
         batch-bucket chunks.
 
@@ -197,21 +256,23 @@ class TextRecognizer(BaseModule):
             preds, scores, directions = [None] * n, [None] * n, [None] * n
             for idx in (sep, rot):
                 p, s, d = self._run_batch_chunks(
-                    page, mats[idx], valid_wh[idx], [points[i] for i in idx]
+                    page, mats[idx], valid_wh[idx], [points[i] for i in idx],
+                    out_w=out_w,
                 )
                 for j, i in enumerate(idx):
                     preds[i], scores[i], directions[i] = p[j], s[j], d[j]
             return preds, scores, directions
-        return self._run_batch_chunks(page, mats, valid_wh, points)
+        return self._run_batch_chunks(page, mats, valid_wh, points,
+                                      out_w=out_w)
 
-    def _run_batch_chunks(self, page, mats, valid_wh, points):
+    def _run_batch_chunks(self, page, mats, valid_wh, points, out_w=None):
         from .utils.stagetrace import segment
 
         preds, scores, directions = [], [], []
         bs = self._cfg.data.batch_size
         for i in range(0, len(mats), bs):
             ids_probs = self._infer_padded_page(
-                page, mats[i : i + bs], valid_wh[i : i + bs]
+                page, mats[i : i + bs], valid_wh[i : i + bs], out_w=out_w
             )
             with segment("rec", "tokenize"):
                 p, s, d = self.postprocess(ids_probs, points[i : i + bs])
