@@ -131,11 +131,70 @@ def draw_invoice():
     return img
 
 
+def make_scan_pdf(img, out_path):
+    """A fax-style scan of ``img``: bitonal CCITT Group-4 image stream in
+    a minimal PDF — the scanned-document input class the native fax
+    decoder (native/ccitt.cpp) handles, as pdfium does for the
+    reference."""
+    import io
+
+    from PIL import Image
+
+    arr = np.asarray(img.convert("L"))
+    black = arr < 160
+    h, w = black.shape
+    buf = io.BytesIO()
+    Image.fromarray(black.astype(np.uint8) * 255).convert("1").save(
+        buf, format="TIFF", compression="group4", tiffinfo={278: h}
+    )
+    data = buf.getvalue()
+    im = Image.open(io.BytesIO(data))
+    offs, counts = im.tag_v2[273], im.tag_v2[279]
+    assert len(offs) == 1, "expected a single G4 strip"
+    g4 = data[offs[0] : offs[0] + counts[0]]
+
+    img_dict = (
+        f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+        f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+        f"/Filter /CCITTFaxDecode "
+        f"/DecodeParms << /K -1 /Columns {w} /Rows {h} >> "
+        f"/Length {len(g4)} >>"
+    )
+    content = f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q".encode()
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+            f"/Resources << /XObject << /Im0 4 0 R >> >> /Contents 5 0 R >>"
+        ).encode(),
+        img_dict.encode() + b"\nstream\n" + g4 + b"\nendstream",
+        f"<< /Length {len(content)} >>".encode()
+        + b"\nstream\n" + content + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, o in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + o + b"\nendobj\n"
+    xref = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref}\n%%EOF\n"
+    ).encode()
+    with open(out_path, "wb") as f:
+        f.write(bytes(out))
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     report, invoice = draw_report(), draw_invoice()
     report.save(f"{OUT}/sample_text.png")
     invoice.save(f"{OUT}/sample_table.png")
+    make_scan_pdf(report, f"{OUT}/sample_scan.pdf")
 
     from yomitoku_tpu.schemas import DocumentAnalyzerSchema
     from yomitoku_tpu.utils.searchable_pdf import create_searchable_pdf
@@ -153,8 +212,14 @@ def main():
     pages = load_pdf(f"{OUT}/sample.pdf")
     arrs = [np.asarray(p) for p in pages]
     assert len(arrs) == 2 and all(a.ndim == 3 for a in arrs), "render failed"
+    scan = load_pdf(f"{OUT}/sample_scan.pdf")
+    sarr = np.asarray(scan[0])
+    assert sarr.ndim == 3 and (sarr.mean(axis=2) < 128).sum() > 1000, (
+        "scan render failed"
+    )
     print("demo assets written:",
-          sorted(os.listdir(OUT)), "pdf pages:", [a.shape for a in arrs])
+          sorted(os.listdir(OUT)), "pdf pages:",
+          [a.shape for a in arrs] + [sarr.shape])
 
 
 if __name__ == "__main__":
