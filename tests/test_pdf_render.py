@@ -469,3 +469,19 @@ def test_pdf_corrupt_inputs_fail_clean_or_salvage(tmp_path, mutate):
     # salvage path: whatever loads must rasterize to real page images
     for pg in pages:
         assert pg.ndim == 3 and pg.dtype == np.uint8 and pg.shape[2] == 3
+
+
+def test_demo_scan_pdf_asset_renders():
+    """The committed fax-scan demo asset must keep decoding (guards the
+    G4 stream + PDF structure written by scripts/make_demo_assets.py)."""
+    import os
+
+    from yomitoku_tpu.data import load_pdf
+
+    path = os.path.join(os.path.dirname(__file__), "..", "demo",
+                        "sample_scan.pdf")
+    if not os.path.exists(path):
+        pytest.skip("demo assets not generated")
+    page = load_pdf(path, dpi=72)[0]
+    assert page.ndim == 3
+    assert (page.mean(axis=2) < 128).sum() > 1000  # the scan's ink
