@@ -38,10 +38,27 @@ def enable_compilation_cache():
         return
     import jax
 
-    cache_dir = os.environ.get(
-        "YOMITOKU_TPU_COMPILE_CACHE_DIR",
-        os.path.expanduser("~/.cache/yomitoku_tpu/xla_cache"),
-    )
+    cache_dir = os.environ.get("YOMITOKU_TPU_COMPILE_CACHE_DIR")
+    if not cache_dir:
+        # Namespace by host CPU fingerprint: XLA's cache key does not
+        # include the host machine features, so a CPU AOT entry compiled
+        # on one machine loads on another with "machine type doesn't
+        # match" errors (and a documented SIGILL risk) when the cache
+        # directory is shared or migrated between hosts.
+        import hashlib
+        import platform
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next((l for l in f if l.startswith("flags")), "")
+        except OSError:
+            flags = ""
+        tag = hashlib.sha1(
+            (platform.machine() + flags).encode()
+        ).hexdigest()[:10]
+        cache_dir = os.path.expanduser(
+            f"~/.cache/yomitoku_tpu/xla_cache/{tag}"
+        )
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
