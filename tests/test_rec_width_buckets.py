@@ -126,3 +126,23 @@ def test_invalid_bucket_widths_ignored(monkeypatch):
     assert rec._width_buckets() is None
     monkeypatch.setenv("YOMITOKU_TPU_REC_WIDTH_BUCKETS", "16,8")
     assert rec._width_buckets() == [8, 16]
+
+
+def test_width_buckets_with_orientation_fallback(monkeypatch):
+    """The fallback retry path re-enters the bucket router with rot180
+    homographies; results must stay order-aligned and not crash."""
+    monkeypatch.setenv("YOMITOKU_TPU_DEVICE_CROPS", "1")
+    monkeypatch.setenv("YOMITOKU_TPU_REC_WIDTH_BUCKETS", "16")
+    from yomitoku_tpu.text_recognizer import TextRecognizer
+
+    rec = TextRecognizer(
+        path_cfg="tests/yaml/rec_small.yaml",
+        device="cpu",
+        from_pretrained=False,
+        rec_orientation_fallback=True,
+        rec_orientation_fallback_thresh=1.1,  # force retry on every line
+    )
+    img, quads = _page_with_lines()
+    preds, scores, dirs, pts = rec._call_device(img, quads)
+    assert len(preds) == len(quads) == len(pts)
+    assert all(isinstance(p, str) for p in preds)
