@@ -723,7 +723,7 @@ def main():
     # phases below are skipped (reported null + note) once the budget is
     # spent, so the one JSON line is printed no matter what.
     t_start = time.time()
-    budget_s = float(os.environ.get("YOMITOKU_TPU_BENCH_BUDGET_S", "1500"))
+    budget_s = float(os.environ.get("YOMITOKU_TPU_BENCH_BUDGET_S", "1650"))
 
     def budget_left():
         return budget_s - (time.time() - t_start)
