@@ -355,39 +355,70 @@ def symbol_dict_segment(number, symbols, tmpl=0, at=None):
 
 
 def text_region_segment(number, symdict_number, w, h, instances, symbols,
-                        x=0, y=0, combop=0):
-    """instances: list of (symbol_id, x, y) placed TOPLEFT, non-transposed,
-    SBSTRIPS=1.  symbols: the bitmaps of the referred dictionary (needed for
-    the CURS advance, which is width-1 per drawn instance)."""
+                        x=0, y=0, combop=0, refcorner=1, transposed=False,
+                        log2strips=0, sbcombop=0, dsoffset=0):
+    """instances: list of (symbol_id, x, y) where (x, y) is the TOP-LEFT
+    of the placed bitmap regardless of refcorner (the encoder converts to
+    the refcorner's coordinates).  symbols: the bitmaps of the referred
+    dictionary (needed for the CURS advance).  refcorner: 0=BL, 1=TL,
+    2=BR, 3=TR."""
     body = bytearray(region_info(w, h, x, y, combop))
-    body += (1 << 4).to_bytes(2, "big")  # REFCORNER=TOPLEFT, rest default
+    flags = (
+        (refcorner << 4)
+        | ((1 if transposed else 0) << 6)
+        | (log2strips << 2)
+        | ((sbcombop & 3) << 7)
+        | ((dsoffset & 0x1F) << 10)
+    )
+    body += flags.to_bytes(2, "big")
     body += len(instances).to_bytes(4, "big")
 
     codelen = max(1, (len(symbols) - 1).bit_length())
+    sbstrips = 1 << log2strips
     mq = MQEncoder()
     iadt = IntEncoder(mq, "IADT")
     iafs = IntEncoder(mq, "IAFS")
     iads = IntEncoder(mq, "IADS")
+    iait = IntEncoder(mq, "IAIT")
 
-    inst = sorted(instances, key=lambda t: (t[2], t[1]))
+    def coords(sid, px, py):
+        """(S left-edge/top-edge, T as decoded) for the instance whose
+        top-left lands at (px, py)."""
+        sh, sw = symbols[sid].shape
+        if not transposed:
+            s = px
+            t = py if refcorner in (1, 3) else py + sh - 1
+            adv = sw - 1
+        else:
+            s = py
+            t = px if refcorner in (0, 1) else px + sw - 1
+            adv = sh - 1
+        return s, t, adv
+
+    conv = [(sid,) + coords(sid, px, py) for sid, px, py in instances]
+    # group into strips of sbstrips consecutive T values
+    conv.sort(key=lambda e: ((e[2] // sbstrips) * sbstrips, e[1]))
     iadt.encode(0)  # STRIPT starts at 0
     stript = 0
     firsts = 0
     i = 0
-    while i < len(inst):
-        t = inst[i][2]
-        iadt.encode(t - stript)
-        stript = t
+    while i < len(conv):
+        strip_t = (conv[i][2] // sbstrips) * sbstrips
+        assert (strip_t - stript) % sbstrips == 0
+        iadt.encode((strip_t - stript) // sbstrips)
+        stript = strip_t
         curs = None
-        while i < len(inst) and inst[i][2] == t:
-            sid, sx, _ = inst[i]
+        while i < len(conv) and (conv[i][2] // sbstrips) * sbstrips == strip_t:
+            sid, s, t, adv = conv[i]
             if curs is None:
-                iafs.encode(sx - firsts)
-                firsts = sx
+                iafs.encode(s - firsts)
+                firsts = s
             else:
-                iads.encode(sx - curs)
+                iads.encode(s - curs - dsoffset)
+            if sbstrips > 1:
+                iait.encode(t - strip_t)
             encode_iaid(mq, codelen, sid)
-            curs = sx + symbols[sid].shape[1] - 1
+            curs = s + adv
             i += 1
         iads.encode_oob()
     body += mq.flush()

@@ -254,3 +254,80 @@ def test_jbig2_truncation_fuzz_never_crashes():
             assert out.shape == (24, 40)
         except ValueError:
             pass
+
+
+@pytest.mark.parametrize("refcorner", [0, 1, 2, 3])
+def test_text_region_refcorners(refcorner):
+    """All four reference corners place identically for a fixed top-left
+    (the encoder converts; the decoder must land the bitmap in the same
+    cells)."""
+    syms = _glyphs()
+    instances = [(0, 2, 2), (2, 9, 5), (1, 16, 1)]
+    w, h = 24, 12
+    stream = (
+        page_info_segment(1, w, h)
+        + symbol_dict_segment(2, syms)
+        + text_region_segment(3, 2, w, h, instances, syms,
+                              refcorner=refcorner)
+    )
+    out = _decode(stream, w, h)
+    want = np.zeros((h, w), np.uint8)
+    for sid, x, y in instances:
+        s = syms[sid]
+        want[y : y + s.shape[0], x : x + s.shape[1]] |= s
+    np.testing.assert_array_equal(out, want)
+
+
+@pytest.mark.parametrize("refcorner", [0, 1, 2, 3])
+def test_text_region_transposed(refcorner):
+    syms = _glyphs()
+    instances = [(0, 2, 1), (1, 2, 8), (2, 12, 3)]  # column-ish layout
+    w, h = 20, 14
+    stream = (
+        page_info_segment(1, w, h)
+        + symbol_dict_segment(2, syms)
+        + text_region_segment(3, 2, w, h, instances, syms,
+                              refcorner=refcorner, transposed=True)
+    )
+    out = _decode(stream, w, h)
+    want = np.zeros((h, w), np.uint8)
+    for sid, x, y in instances:
+        s = syms[sid]
+        want[y : y + s.shape[0], x : x + s.shape[1]] |= s
+    np.testing.assert_array_equal(out, want)
+
+
+def test_text_region_multirow_strips():
+    """SBSTRIPS=4: instances at non-multiple T decode via IAIT CURT."""
+    syms = _glyphs()
+    instances = [(0, 1, 1), (1, 6, 3), (2, 12, 2), (0, 18, 6), (1, 1, 9)]
+    w, h = 24, 14
+    stream = (
+        page_info_segment(1, w, h)
+        + symbol_dict_segment(2, syms)
+        + text_region_segment(3, 2, w, h, instances, syms, log2strips=2)
+    )
+    out = _decode(stream, w, h)
+    want = np.zeros((h, w), np.uint8)
+    for sid, x, y in instances:
+        s = syms[sid]
+        want[y : y + s.shape[0], x : x + s.shape[1]] |= s
+    np.testing.assert_array_equal(out, want)
+
+
+def test_text_region_ds_offset_and_xor_compose():
+    syms = _glyphs()
+    instances = [(0, 2, 1), (0, 4, 1)]  # overlapping -> XOR cancels
+    w, h = 12, 6
+    stream = (
+        page_info_segment(1, w, h)
+        + symbol_dict_segment(2, syms)
+        + text_region_segment(3, 2, w, h, instances, syms,
+                              sbcombop=2, dsoffset=3)
+    )
+    out = _decode(stream, w, h)
+    a = syms[0]
+    want = np.zeros((h, w), np.uint8)
+    want[1 : 1 + a.shape[0], 2 : 2 + a.shape[1]] ^= a
+    want[1 : 1 + a.shape[0], 4 : 4 + a.shape[1]] ^= a
+    np.testing.assert_array_equal(out, want)
