@@ -1030,7 +1030,7 @@ class PageRenderer:
             cache = self._tile_avg_cache = {}
         key = (id(pat), under_color)
         if key in cache:
-            return cache[key]
+            return cache[key][1]
         col = None
         try:
             bbox = [
@@ -1062,7 +1062,9 @@ class PageRenderer:
                 col = tuple(min(max(float(v), 0.0), 1.0) for v in mean)
         except Exception:
             col = None
-        cache[key] = col
+        # retain pat in the value: id()-keyed caches must keep the object
+        # alive or a GC'd pattern's id can be reused and return a stale color
+        cache[key] = (pat, col)
         return col
 
     def _paint_region(self, color, state):

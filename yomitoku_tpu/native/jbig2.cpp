@@ -30,7 +30,10 @@
 
 namespace jbig2 {
 
-static std::string g_error;
+// Error reporting is per-call: thread_local so concurrent decodes (pages
+// rendered from a ThreadPoolExecutor) never race on the string or hand a
+// dangling c_str() to another thread.
+static thread_local std::string g_error;
 
 struct Error {
   std::string msg;
@@ -458,6 +461,10 @@ static RegionInfo parse_region_info(Reader &r) {
   ri.combop = r.u8() & 7;
   if (ri.w > (1u << 24) || ri.h > (1u << 24))
     fail("region %ux%u out of range", ri.w, ri.h);
+  // Bound the placement too: ensure_page(ri.x + ri.w, ...) and compose's
+  // int arithmetic must not wrap for hostile x/y near UINT32_MAX.
+  if (ri.x > (1u << 24) || ri.y > (1u << 24))
+    fail("region origin %u,%u out of range", ri.x, ri.y);
   return ri;
 }
 
@@ -542,8 +549,12 @@ struct Decoder {
     if (mmr) {
       // JBIG2 MMR is T.6 (pure 2-D) coding — shared with the CCITT decoder.
       std::vector<uint8_t> out((size_t)ri.w * ri.h, 0);
-      ccitt_decode(r.d + r.p, payload, (int)ri.w, /*k=*/-1,
-                   /*byte_align=*/0, out.data(), (int)ri.h);
+      int rows = ccitt_decode(r.d + r.p, payload, (int)ri.w, /*k=*/-1,
+                              /*byte_align=*/0, out.data(), (int)ri.h);
+      // Fail loudly on corrupt/truncated MMR payloads, matching the
+      // arithmetic path's policy, instead of composing half-blank rows.
+      if (rows < (int)ri.h)
+        fail("MMR generic region decoded %d of %u rows", rows, ri.h);
       memcpy(bm.px.data(), out.data(), out.size());
     } else {
       MQDecoder mq;
@@ -681,7 +692,9 @@ struct Decoder {
     uint32_t numinstances = r.u32();
     // corrupt streams can claim billions of instances; each instance
     // covers >= 1 px, so region area bounds any plausible count
-    if (numinstances > ri.w * ri.h + 1024)
+    // (area in 64-bit: w,h are each allowed up to 2^24, so the 32-bit
+    // product could wrap and defeat this cap)
+    if ((uint64_t)numinstances > (uint64_t)ri.w * ri.h + 1024)
       fail("implausible instance count %u for %ux%u region", numinstances,
            ri.w, ri.h);
     int sbstrips = 1 << log2strips;
