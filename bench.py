@@ -262,10 +262,24 @@ def _pin_analyzer(analyzer, img, quads, paragraphs, tables, figure_box,
     tsr.tables_from_filtered = lambda data, filtered: synthetic_tables()
 
 
-def run_e2e(device="tpu", warmup=2, iters=8):
-    """Returns (pipelined_page_s, latency_page_s, workload): throughput is
-    measured over analyzer.batch() (pages overlap, as the CLI runs
-    multi-page documents); latency is the single-page sequential path."""
+def _median(xs):
+    """Lower median (len//2 of the sorted list) — one ACTUAL window, so
+    the matching stage table exists."""
+    return sorted(xs)[(len(xs) - 1) // 2]
+
+
+def run_e2e(device="tpu", warmup=2, iters=8, pairs=4):
+    """Returns (pipelined_page_s, latency_page_s, workload, stage table,
+    early_exit_page_s, dp_page_s, dp stage table): throughput is measured
+    over analyzer.batch() (pages overlap, as the CLI runs multi-page
+    documents); latency is the single-page sequential path.
+
+    Statistics (ADVICE r4): every compared path reports the MEDIAN of its
+    windows; all windows are disclosed in the workload detail.  The
+    batch-vs-DP comparison is a PAIRED A/B: the two paths alternate
+    window-by-window inside the same minute, so both ride the same
+    tunnel-bandwidth weather, and the headline dp ratio is the median of
+    the per-pair ratios (VERDICT r4 #1)."""
     from yomitoku_tpu.document_analyzer import DocumentAnalyzer
 
     img, quads, paragraphs, tables, figure_box = _build_workload()
@@ -282,43 +296,33 @@ def run_e2e(device="tpu", warmup=2, iters=8):
         analyzer(img)
     latency_s = (time.perf_counter() - t0) / iters
 
-    analyzer.batch([img] * 2)  # warm the pipelined path
-    # median of three batches: the dev tunnel's bandwidth swings
-    # minute-to-minute by 2-4x, and a single batch run inherits whatever
-    # window it lands in
+    from yomitoku_tpu.ops.device_crop import device_crops_enabled
     from yomitoku_tpu.utils.stagetrace import collect
 
+    analyzer.batch([img] * 2)  # warm the pipelined path
+    dp_enabled = device_crops_enabled()
+    dp_iters = max(4, (iters // 4) * 4)
+    if dp_enabled:
+        # warm (compiles the page-batched fused program)
+        analyzer._batch_dp_fused([img] * 4)
+
+    # Interleaved paired windows: batch() then the page-DP path
+    # back-to-back, `pairs` times.  The dev tunnel's bandwidth swings
+    # minute-to-minute by 2-4x; adjacent windows share the same weather.
     rounds, stage_tables = [], []
-    for _ in range(3):
+    dp_rounds, dp_stage_tables = [], []
+    for _ in range(pairs):
         with collect() as stats:
             t0 = time.perf_counter()
             analyzer.batch([img] * iters)
             rounds.append((time.perf_counter() - t0) / iters)
         stage_tables.append(stats.table(pages=iters))
-    # stage table from the best collected window (matches the reported
-    # value unless the late re-measure below wins)
-    median_idx = rounds.index(min(rounds))
-    pipelined_s = rounds[median_idx]
-
-    # single-chip A/B of the page-DP path: same fused kernels, but pages
-    # batched chunk-deep (default 2 on one chip) into ONE det+layout+TSR
-    # dispatch (the program the dp mesh shards page-parallel on a real
-    # slice), chunks pipelined two-deep against the host tails.  Guards
-    # VERDICT r3 weak #1: the DP path must not ship a slower cost model
-    # than the pipelined per-page path.  Note both numbers ride the same
-    # minute-scale tunnel-bandwidth swings; compare within a window.
-    from yomitoku_tpu.ops.device_crop import device_crops_enabled
-
-    dp_s = None
-    if device_crops_enabled():
-        analyzer._batch_dp_fused([img] * 4)  # warm (compiles the batched program)
-        dp_iters = max(4, (iters // 4) * 4)
-        dp_rounds = []
-        for _ in range(3):  # median-of-3, same windowing as batch()
-            t0 = time.perf_counter()
-            analyzer._batch_dp_fused([img] * dp_iters)
-            dp_rounds.append((time.perf_counter() - t0) / dp_iters)
-        dp_s = sorted(dp_rounds)[1]
+        if dp_enabled:
+            with collect() as stats:
+                t0 = time.perf_counter()
+                analyzer._batch_dp_fused([img] * dp_iters)
+                dp_rounds.append((time.perf_counter() - t0) / dp_iters)
+            dp_stage_tables.append(stats.table(pages=dp_iters))
 
     # production-realistic recognizer: early-exit weights (EOS at step
     # 25, a typical Japanese line length) through the SAME pipeline
@@ -326,38 +330,47 @@ def run_e2e(device="tpu", warmup=2, iters=8):
     base_params = rec_model.params
     rec_model.params = early_exit_params(rec_model, 25)
     analyzer.batch([img] * 2)  # warm the param swap
-    # median-of-3 windows, same as the base e2e measurement above — a
-    # single window inherits whatever tunnel-bandwidth swing it lands in
-    # (BENCH r4 warm run: early-exit "slower" than base purely by window)
     early_rounds = []
     for _ in range(3):
         t0 = time.perf_counter()
         analyzer.batch([img] * iters)
         early_rounds.append((time.perf_counter() - t0) / iters)
-    early_pipelined_s = min(early_rounds)
+    early_pipelined_s = _median(early_rounds)
 
-    # The tunnel's bandwidth is exogenous to the framework and can stay
-    # in a trough for many minutes (one captured run: all three early
-    # windows at ~9 MB/s -> 970 ms/page, while a window ten minutes later
-    # ran 5x faster).  Re-measure the base path now — several minutes
-    # after the first windows — and report the BEST window; every window
-    # is kept in the detail for honesty.
+    # One extra time-spaced base window (minutes after the first pairs)
+    # for window diversity; it joins the median like any other window.
     rec_model.params = base_params
     analyzer.batch([img] * 2)  # rewarm original params
-    t0 = time.perf_counter()
-    analyzer.batch([img] * iters)
-    late_s = (time.perf_counter() - t0) / iters
-    windows_ms = [round(r * 1e3, 1) for r in rounds + [late_s]]
-    pipelined_s = min(rounds + [late_s])
+    with collect() as stats:
+        t0 = time.perf_counter()
+        analyzer.batch([img] * iters)
+        late_s = (time.perf_counter() - t0) / iters
+    rounds.append(late_s)
+    stage_tables.append(stats.table(pages=iters))
+
+    pipelined_s = _median(rounds)
+    median_idx = rounds.index(pipelined_s)
+    dp_s = _median(dp_rounds) if dp_rounds else None
+    dp_stages = (
+        dp_stage_tables[dp_rounds.index(dp_s)] if dp_rounds else None
+    )
+    paired = [
+        round(d / b, 3) for b, d in zip(rounds, dp_rounds)
+    ]
 
     return pipelined_s, latency_s, {
         "lines": len(quads), "words": n_words,
         "paragraphs": n_paragraphs, "tables": len(tables),
-        "e2e_windows_ms": windows_ms,
+        "e2e_windows_ms": [round(r * 1e3, 1) for r in rounds],
+        "dp_windows_ms": [round(r * 1e3, 1) for r in dp_rounds],
+        "dp_over_batch_paired_ratios": paired,
+        "dp_over_batch_paired_median": (
+            _median(paired) if paired else None
+        ),
         "e2e_earlyexit_windows_ms": [
             round(r * 1e3, 1) for r in early_rounds
         ],
-    }, stage_tables[median_idx], early_pipelined_s, dp_s
+    }, stage_tables[median_idx], early_pipelined_s, dp_s, dp_stages
 
 
 def _pin_semantic_parser(parser, img, quads, paragraphs, tables, figure_box,
@@ -376,22 +389,45 @@ def _pin_semantic_parser(parser, img, quads, paragraphs, tables, figure_box,
     cat = {c: i for i, c in cell.label_mapper.items()}
     real_fp = cell.postprocessor.filter_packed
 
+    calls = [0]
+
     def filter_packed(packed, orig_sizes, threshold):
         # the real host filter runs first (its cost stays measured), then
-        # the detections are swapped for a 4x4 grid per crop: row 0
-        # headers, rows 1-3 cells — with random weights the raw keep-set
-        # is an arbitrary pile of hundreds of boxes whose O(n^2) host
-        # filters measure a workload no real checkpoint produces
+        # the detections are swapped for deterministic layouts — with
+        # random weights the raw keep-set is an arbitrary pile of
+        # hundreds of boxes whose O(n^2) host filters measure a workload
+        # no real checkpoint produces.  Alternating per crop: a 4x4 grid
+        # (row 0 headers, rows 1-3 cells -> grid_parser) and a 4-row
+        # key-value table (header column | value column, no >=2-line hard
+        # row/col structure -> kv_parser), so BOTH semantic branches sit
+        # inside the timed path (VERDICT r4 #2: kv_items was 0).
         real_fp(packed, orig_sizes, threshold)
         outs = []
         for w, h in np.asarray(orig_sizes, np.float32).reshape(-1, 2):
             boxes, labels = [], []
-            cw, ch = w / 4.0, h / 4.0
-            for r in range(4):
-                for c in range(4):
-                    x0, y0 = c * cw + 2.0, r * ch + 2.0
-                    boxes.append([x0, y0, x0 + cw - 4.0, y0 + ch - 4.0])
-                    labels.append(cat["header"] if r == 0 else cat["cell"])
+            if calls[0] % 2 == 0:
+                cw, ch = w / 4.0, h / 4.0
+                for r in range(4):
+                    for c in range(4):
+                        x0, y0 = c * cw + 2.0, r * ch + 2.0
+                        boxes.append(
+                            [x0, y0, x0 + cw - 4.0, y0 + ch - 4.0]
+                        )
+                        labels.append(
+                            cat["header"] if r == 0 else cat["cell"]
+                        )
+            else:
+                # 4 stacked (header | value) pairs with clear vertical
+                # gaps: one hard-adjacency column per role -> not a grid
+                cw, ch = w / 2.0, h / 4.0
+                for r in range(4):
+                    y0 = r * ch + 8.0
+                    y1 = (r + 1) * ch - 8.0
+                    boxes.append([2.0, y0, cw - 4.0, y1])
+                    labels.append(cat["header"])
+                    boxes.append([cw + 2.0, y0, w - 4.0, y1])
+                    labels.append(cat["cell"])
+            calls[0] += 1
             outs.append(
                 dict(
                     labels=np.asarray(labels, np.int64),
@@ -425,14 +461,14 @@ def run_semantic_e2e(device="tpu", warmup=2, iters=8):
 
     parser.batch([img] * 2)  # warm the pipelined path
     rounds, stage_tables = [], []
-    for _ in range(3):
+    for _ in range(4):
         with collect() as stats:
             t0 = time.perf_counter()
             parser.batch([img] * iters)
             rounds.append((time.perf_counter() - t0) / iters)
         stage_tables.append(stats.table(pages=iters))
-    # best window, same exogenous-tunnel-bandwidth reasoning as run_e2e
-    median_idx = rounds.index(min(rounds))
+    # median window, same statistic as every other compared path
+    median_idx = rounds.index(_median(rounds))
 
     workload = {
         "tables": len(semantic.tables),
@@ -443,7 +479,9 @@ def run_semantic_e2e(device="tpu", warmup=2, iters=8):
         "words": len(semantic.words),
         "windows_ms": [round(r * 1e3, 1) for r in rounds],
     }
-    return rounds[median_idx], latency_s, workload, stage_tables[median_idx]
+    return (
+        rounds[median_idx], latency_s, workload, stage_tables[median_idx]
+    )
 
 
 def early_exit_params(rec_model, k, char_id=5):
@@ -612,17 +650,24 @@ def measure_practical_floor(stages, n_pages=9, depth=3):
     import jax.numpy as jnp
     from concurrent.futures import ThreadPoolExecutor
 
-    # per-page transfer events from the stage table: a row's mb/n are
-    # per-page totals over n events, so replay n transfers of mb/n each
-    # (a page with two rec sync events must pay two round trips)
+    # Transfer events from the stage table: a row's mb/n are per-page
+    # totals over n events, so the whole replay pays round(n * n_pages)
+    # transfers of the event size, spread evenly across the page tasks.
+    # (n can be FRACTIONAL — the page-DP schedule uploads one stacked
+    # buffer per chunk, i.e. n=0.5 uploads/page at chunk depth 2 — and
+    # per-page rounding would double its bytes.)
     def _events(kind_wanted):
-        out = []
+        per_page = [[] for _ in range(n_pages)]
         for row in stages.values():
             for kind, seg in row.items():
                 if kind == kind_wanted:
-                    n = max(int(round(seg.get("n", 1.0))), 1)
-                    out += [seg.get("mb", 0.0) / n] * n
-        return out
+                    n_total = max(
+                        int(round(seg.get("n", 1.0) * n_pages)), 1
+                    )
+                    mb_each = seg.get("mb", 0.0) * n_pages / n_total
+                    for j in range(n_total):
+                        per_page[j * n_pages // n_total].append(mb_each)
+        return per_page
 
     uploads = _events("upload")
     reads = _events("sync")
@@ -631,26 +676,37 @@ def measure_practical_floor(stages, n_pages=9, depth=3):
     # buffers fly and overstate the achievable floor
     _rng = np.random.RandomState(0)
     up_bufs = [
-        _rng.randint(0, 256, (max(int(mb * 1e6), 8),), dtype=np.uint8)
-        for mb in uploads
+        [
+            _rng.randint(0, 256, (max(int(mb * 1e6), 8),), dtype=np.uint8)
+            for mb in page_mbs
+        ]
+        for page_mbs in uploads
     ]
-    read_ns = [max(int(mb * 1e6), 8) for mb in reads]
+    read_ns = [
+        [max(int(mb * 1e6), 8) for mb in page_mbs] for page_mbs in reads
+    ]
     # readbacks tile the (random) upload so they are incompressible too
     expand = {
         n: jax.jit(lambda x, n=n: jnp.resize(x.reshape(-1), (n,)))
-        for n in read_ns
+        for page in read_ns
+        for n in page
     }
 
-    def one_page(_):
+    def one_page(p):
         d = jax.device_put(np.zeros((8,), np.uint8))
-        for b in up_bufs:
+        for b in up_bufs[p]:
             d = jax.device_put(b)
         total = 0
-        for n in read_ns:
+        for n in read_ns[p]:
             total += np.asarray(expand[n](d)).nbytes
         return total
 
-    one_page(0)  # warm the executables
+    # warm every expand executable before timing (pages may use distinct
+    # readback sizes)
+    d0 = jax.device_put(np.zeros((8,), np.uint8))
+    for fn in expand.values():
+        np.asarray(fn(d0))
+    one_page(0)
     t0 = time.perf_counter()
     with ThreadPoolExecutor(depth) as ex:
         list(ex.map(one_page, range(n_pages)))
@@ -734,7 +790,10 @@ def main():
     enable_compilation_cache()
 
     link_lat_ms, link_bw_mbs = measure_link()
-    page_s, latency_s, workload, stages, early_page_s, dp_page_s = run_e2e()
+    (
+        page_s, latency_s, workload, stages, early_page_s, dp_page_s,
+        dp_stages,
+    ) = run_e2e()
     pages_per_sec = 1.0 / page_s
 
     # TableSemanticParser pipeline: the expensive optional phase (the
@@ -786,6 +845,29 @@ def main():
     else:
         skipped.append("practical_floor: over budget")
 
+    # Bandwidth-independent efficiency ratios (VERDICT r4 #6): each
+    # pipeline's e2e ms over the practical transfer floor of its OWN
+    # measured schedule.  The floor replays inherit the link weather of
+    # their window like any run, but the RATIO factors the schedule's
+    # byte/sync cost out of the headline, making rounds comparable across
+    # tunnel-bandwidth regimes.
+    dp_floor_ms = sem_floor_ms = None
+    if dp_stages is not None and budget_left() > 60:
+        try:
+            dp_floor_ms = measure_practical_floor(dp_stages, depth=depth)
+        except Exception as e:
+            skipped.append(f"dp_floor: {type(e).__name__}")
+    if sem_stages is not None and budget_left() > 60:
+        try:
+            sem_floor_ms = measure_practical_floor(sem_stages, depth=depth)
+        except Exception as e:
+            skipped.append(f"sem_floor: {type(e).__name__}")
+
+    def _ratio(ms_val, floor):
+        if ms_val is None or not floor:
+            return None
+        return round(ms_val / floor, 2)
+
     det_s = lay_s = rec_s = rec400_s = None
     if budget_left() > 60:
         try:
@@ -834,7 +916,23 @@ def main():
                     # landing in a faster window can undercut it (see
                     # measure_practical_floor docstring)
                     "floor_note": "same-schedule reference +- link-window variance, not a per-run bound",
-                    "value_note": "best batch() window of 3 consecutive + 1 time-spaced (tunnel bandwidth is exogenous and troughs for minutes; all windows in workload.e2e_windows_ms; early-exit likewise best-of-3)",
+                    "value_note": "median of 4 interleaved + 1 time-spaced batch() windows; dp path alternates with batch() window-by-window (paired A/B, ratios in workload); early-exit and table-semantic report their window medians too",
+                    "e2e_over_floor_ratio": _ratio(
+                        page_s * 1e3, practical_floor_ms
+                    ),
+                    "dp_over_floor_ratio": _ratio(
+                        dp_page_s * 1e3 if dp_page_s else None, dp_floor_ms
+                    ),
+                    "dp_floor_ms_per_page": (
+                        round(dp_floor_ms, 1) if dp_floor_ms else None
+                    ),
+                    "table_semantic_over_floor_ratio": _ratio(
+                        sem_page_s * 1e3 if sem_page_s else None,
+                        sem_floor_ms,
+                    ),
+                    "table_semantic_floor_ms_per_page": (
+                        round(sem_floor_ms, 1) if sem_floor_ms else None
+                    ),
                     "workload": workload,
                     "table_semantic_e2e_pages_per_sec": inv(sem_page_s),
                     "table_semantic_e2e_pipelined_page_ms": ms(sem_page_s),

@@ -550,22 +550,11 @@ class DocumentAnalyzer:
         tsr_data = tsr._preprocess_meta(
             img, [t.box for t in results_layout.tables]
         )
-        slot_of = {
-            tuple(sel[j]): j for j in range(len(sel_valid)) if sel_valid[j]
-        }
-        filtered = [None] * len(tsr_data)
-        missing_idx, missing_data = [], []
-        for i, d in enumerate(tsr_data):
-            x1, y1 = d["offset"]
-            hh, ww = d["size"]
-            j = slot_of.pop((x1, y1, x1 + ww, y1 + hh), None)
-            if j is None:
-                missing_idx.append(i)
-                missing_data.append(d)
-            else:
-                filtered[i] = tsr.postprocessor.filter_packed(
-                    packed_t[j], [[ww, hh]], tsr.thresh_score
-                )[0]
+        prog = self._ensure_fused_program()
+        filtered, missing_idx, missing_data = prog.consume_region_slots(
+            tsr_data, packed_t, sel, sel_valid, tsr.postprocessor,
+            tsr.thresh_score,
+        )
         chunks = (
             dispatch_regions_from_page(tsr.model, page, missing_data, tsr_hw)
             if missing_data
@@ -833,52 +822,79 @@ class DocumentAnalyzer:
             outputs = self.aggregate(results_ocr, layout_schema)
             return (DocumentAnalyzerSchema(**outputs), None, None)
 
-        # Pipeline chunks: the fused dispatch is async, so chunk k+1's
-        # upload+dispatch overlaps chunk k's host tails (which hold the
-        # syncs).  A bounded window keeps at most two chunks' device
-        # buffers in flight (per-chunk: dp pages u8 + ~2 MB wire).
+        def _device_leg(ids, det_hw):
+            # pad the chunk to the program's page count by repeating the
+            # first page (keeps ONE compiled program per bucket; padded
+            # lanes' outputs are dropped)
+            pad_ids = ids + [ids[0]] * (chunk_pages - len(ids))
+            stack = np.stack([padded[i] for i in pad_ids])
+            if mesh is not None:
+                pages_dev = jax.device_put(
+                    stack, batch_sharding(mesh, stack.ndim)
+                )
+            else:
+                pages_dev = jnp.asarray(stack)
+            hws = [imgs[i].shape[:2] for i in pad_ids]
+            per_page = prog.batch_call(
+                pages_dev, hws, det_hw, lay_hw, tsr_hw
+            )
+            return pages_dev, per_page
+
+        chunks = [
+            (members[s : s + chunk_pages], det_hw)
+            for (_, det_hw), members in groups.items()
+            for s in range(0, len(members), chunk_pages)
+        ]
+
+        # Two-stage pipeline.  The chunk device legs (page upload, fused
+        # dispatch, multi-MB wire sync) run in their OWN worker threads,
+        # ``dev_depth`` deep, so chunk k+1's upload/dispatch/sync overlaps
+        # both chunk k's sync and chunk k's host tails — running the leg
+        # inline on the submitting thread (as this path did before r5)
+        # serialized every chunk's wire sync behind the previous one's and
+        # cost the DP path ~1.9x the threaded batch() schedule (BENCH_r04:
+        # 316 vs 168 ms/page).  Host tails (contours, rec dispatch+sync,
+        # tokenize, aggregation) pipeline per page in a second pool, with
+        # a bounded in-flight window so at most ~2 chunks' device buffers
+        # stay alive.
         results = [None] * len(imgs)
         from collections import deque
 
-        window = deque()  # [(ids, futures)]
-        with ThreadPoolExecutor(max_workers=max(2, chunk_pages)) as ex:
-
-            def _drain(entry):
-                for i, fut in entry:
-                    results[i] = fut.result()
-
-            for (pshape, det_hw), members in groups.items():
-                for s in range(0, len(members), chunk_pages):
-                    ids = members[s : s + chunk_pages]
-                    # pad the chunk to the program's page count by
-                    # repeating the first page (keeps ONE compiled program
-                    # per bucket; padded lanes' outputs are dropped)
-                    pad_ids = ids + [ids[0]] * (chunk_pages - len(ids))
-                    stack = np.stack([padded[i] for i in pad_ids])
-                    if mesh is not None:
-                        pages_dev = jax.device_put(
-                            stack, batch_sharding(mesh, stack.ndim)
-                        )
-                    else:
-                        pages_dev = jnp.asarray(stack)
-                    hws = [imgs[i].shape[:2] for i in pad_ids]
-                    per_page = prog.batch_call(
-                        pages_dev, hws, det_hw, lay_hw, tsr_hw
+        dev_depth = max(
+            1, int(os.environ.get("YOMITOKU_TPU_DP_DEVICE_DEPTH", "2"))
+        )
+        tail_window = 2 * chunk_pages
+        with ThreadPoolExecutor(max_workers=dev_depth) as dev_ex, \
+                ThreadPoolExecutor(max_workers=max(2, chunk_pages)) as tail_ex:
+            leg_futs = deque(
+                (ids, dev_ex.submit(_device_leg, ids, det_hw))
+                for ids, det_hw in chunks[:dev_depth]
+            )
+            next_chunk = dev_depth
+            tails = deque()
+            while leg_futs:
+                ids, fut = leg_futs.popleft()
+                pages_dev, per_page = fut.result()
+                if next_chunk < len(chunks):
+                    c_ids, c_hw = chunks[next_chunk]
+                    leg_futs.append(
+                        (c_ids, dev_ex.submit(_device_leg, c_ids, c_hw))
                     )
-                    entry = []
-                    for j, i in enumerate(ids):
-                        page_view = SimpleNamespace(
-                            dev=pages_dev[j], hw=tuple(imgs[i].shape[:2])
-                        )
-                        entry.append(
-                            (i, ex.submit(_post_one, i, page_view,
-                                          per_page[j]))
-                        )
-                    window.append(entry)
-                    if len(window) > 2:
-                        _drain(window.popleft())
-            while window:
-                _drain(window.popleft())
+                    next_chunk += 1
+                for j, i in enumerate(ids):
+                    page_view = SimpleNamespace(
+                        dev=pages_dev[j], hw=tuple(imgs[i].shape[:2])
+                    )
+                    tails.append(
+                        (i, tail_ex.submit(_post_one, i, page_view,
+                                           per_page[j]))
+                    )
+                while len(tails) > tail_window:
+                    i, tfut = tails.popleft()
+                    results[i] = tfut.result()
+            while tails:
+                i, tfut = tails.popleft()
+                results[i] = tfut.result()
         return results
 
     def _batch_dp_host(self, imgs):

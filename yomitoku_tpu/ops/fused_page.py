@@ -122,12 +122,24 @@ class FusedPageAnalysis:
     def __init__(self, det_model, lay_model, tsr_model, lay_top_k,
                  tsr_top_k, table_label, lay_thresh, max_tables=4,
                  trace_label="det+layout+tsr"):
+        import os
+
         self.det = det_model
         self.lay = lay_model
         self.tsr = tsr_model
         self.trace_label = trace_label
         self.lay_k = int(lay_top_k)
-        self.tsr_k = int(tsr_top_k)
+        # The wire ships the region model's top-k rows per slot.  The
+        # CellDetector's 2500-query top-k would put 240 KB/page on a
+        # round-trip-priced link when real tables keep far fewer than 640
+        # cells above threshold — cap the wire and let consume_region_slots
+        # fall back loudly (chunked full-k region dispatch) for any slot
+        # whose capped list might have truncated above-threshold rows.
+        cap = int(os.environ.get("YOMITOKU_TPU_FUSED_REGION_TOPK", "640"))
+        self.tsr_full_k = int(tsr_top_k)
+        self.tsr_k = (
+            min(self.tsr_full_k, cap) if cap > 0 else self.tsr_full_k
+        )
         self.table_label = int(table_label)
         self.lay_thresh = float(lay_thresh)
         self.max_tables = int(max_tables)
@@ -238,6 +250,54 @@ class FusedPageAnalysis:
         sel = f32(arr[cuts[2] : cuts[3]]).reshape(K, 4).astype(np.int64)
         valid = f32(arr[cuts[3] : cuts[4]]) > 0.0
         return prob, packed, packed_t, sel, valid
+
+    def consume_region_slots(self, region_data, packed_t, sel, sel_valid,
+                             postprocessor, threshold):
+        """Match each host-kept region (``region_data`` from
+        ``_preprocess_meta``: dicts with "offset"/"size") to its device
+        slot by the identically truncated+clamped box and run the host
+        threshold filter on that slot's wire rows.
+
+        Returns (filtered, missing_idx, missing_data): ``filtered[i]`` is
+        the {labels, boxes, scores} dict for region i or None when it must
+        be re-dispatched through the chunked full-k region path — either
+        because no slot matched (more than max_tables, dedup
+        disagreement) or because the capped wire top-k may have truncated
+        above-threshold rows (every shipped row passed the threshold, so
+        rows k+1.. could too; logged loudly, never silent)."""
+        slot_of = {
+            tuple(sel[j]): j for j in range(len(sel_valid)) if sel_valid[j]
+        }
+        filtered = [None] * len(region_data)
+        missing_idx, missing_data = [], []
+        for i, d in enumerate(region_data):
+            x1, y1 = d["offset"]
+            hh, ww = d["size"]
+            j = slot_of.pop((x1, y1, x1 + ww, y1 + hh), None)
+            one = None
+            if j is not None:
+                one = postprocessor.filter_packed(
+                    packed_t[j], [[ww, hh]], threshold
+                )[0]
+                if (
+                    self.tsr_k < self.tsr_full_k
+                    and len(one["scores"]) >= self.tsr_k
+                ):
+                    from ..utils.logger import set_logger
+
+                    set_logger(__name__, "WARNING").warning(
+                        "fused region wire top-%d saturated above "
+                        "threshold for region %s; re-dispatching it at "
+                        "full top-%d (raise YOMITOKU_TPU_FUSED_REGION_TOPK"
+                        " to avoid the extra round trip)",
+                        self.tsr_k, d["offset"], self.tsr_full_k,
+                    )
+                    one = None
+            if one is None:
+                missing_idx.append(i)
+                missing_data.append(d)
+            filtered[i] = one
+        return filtered, missing_idx, missing_data
 
     # ------------------------------------------------- page-axis batching
 

@@ -300,6 +300,19 @@ class TableSemanticParser:
         self.merge_same_column_values = False
         self._fused_page_program = None
         self._fused_page_lock = threading.Lock()
+        self._rec_pool = None
+
+    def _rec_executor(self):
+        """Shared side pool for the recognizer leg of the fused page path
+        (sized for batch()'s default 4 concurrent pages so lanes never
+        serialize on it)."""
+        if self._rec_pool is None:
+            with self._fused_page_lock:
+                if self._rec_pool is None:
+                    self._rec_pool = ThreadPoolExecutor(
+                        max_workers=8, thread_name_prefix="tsp-rec"
+                    )
+        return self._rec_pool
 
     def aggregate(self, ocr_res, cells, overlap_th=0.2):
         """Assign each word to its best-overlap cell (reference :471),
@@ -424,25 +437,15 @@ class TableSemanticParser:
         results_layout = LayoutParserSchema(**lp.filtering_elements(outputs[0]))
 
         # match each kept table to its device slot by the (identically
-        # truncated+clamped) box; misses fall back to region dispatch
+        # truncated+clamped) box; misses (and capped-wire truncation
+        # risks) fall back to region dispatch
         tables = list(results_layout.tables)
         cell_data = cell._preprocess_meta(img, tables)
-        slot_of = {
-            tuple(sel[j]): j for j in range(len(sel_valid)) if sel_valid[j]
-        }
-        filtered = [None] * len(cell_data)
-        missing_idx, missing_data = [], []
-        for i, d in enumerate(cell_data):
-            x1, y1 = d["offset"]
-            hh, ww = d["size"]
-            j = slot_of.pop((x1, y1, x1 + ww, y1 + hh), None)
-            if j is None:
-                missing_idx.append(i)
-                missing_data.append(d)
-            else:
-                filtered[i] = cell.postprocessor.filter_packed(
-                    packed_c[j], [[ww, hh]], cell.thresh_score
-                )[0]
+        prog = self._fused_page_program
+        filtered, missing_idx, missing_data = prog.consume_region_slots(
+            cell_data, packed_c, sel, sel_valid, cell.postprocessor,
+            cell.thresh_score,
+        )
         chunks = (
             dispatch_regions_from_page(cell.model, page, missing_data, cell_hw)
             if missing_data
@@ -453,32 +456,40 @@ class TableSemanticParser:
             quads, scores = det.postprocess({"binary": prob}, (ori_h, ori_w))
         results_det = TextDetectorSchema(points=quads, scores=scores)
 
-        if missing_data:
-            for i, one in zip(
-                missing_idx,
-                collect_filtered_regions(
-                    chunks, cell.postprocessor, cell.thresh_score
-                ),
-            ):
-                filtered[i] = one
+        # The recognizer's device leg (crop+decode dispatch, result sync)
+        # is independent of the cell postprocess — run it in a side thread
+        # so the hole mining / containment filters below overlap the
+        # recognizer's device time and transfer instead of trailing them
+        # (the reference serializes rec after the cell detector,
+        # yomitoku/table_semantic_parser.py:542-563).
+        rec_future = self._rec_executor().submit(
+            self.text_recognizer, img, results_det.points, None, page
+        )
+        try:
+            if missing_data:
+                for i, one in zip(
+                    missing_idx,
+                    collect_filtered_regions(
+                        chunks, cell.postprocessor, cell.thresh_score
+                    ),
+                ):
+                    filtered[i] = one
 
-        results_table = []
-        for one, (d, table) in zip(filtered, zip(cell_data, tables)):
-            cells = cell.postprocess(one, d, table.box)
-            if len(cells) == 0:
-                continue
-            results_table.append(
-                TableDetectorSchema(
-                    id=None, box=table.box, role=table.role, cells=cells
+            results_table = []
+            for one, (d, table) in zip(filtered, zip(cell_data, tables)):
+                cells = cell.postprocess(one, d, table.box)
+                if len(cells) == 0:
+                    continue
+                results_table.append(
+                    TableDetectorSchema(
+                        id=None, box=table.box, role=table.role, cells=cells
+                    )
                 )
+            results_table = self.replace_table_to_paragraphs(
+                results_table, results_layout.paragraphs
             )
-        results_table = self.replace_table_to_paragraphs(
-            results_table, results_layout.paragraphs
-        )
-
-        results_rec, _ = self.text_recognizer(
-            img, results_det.points, page=page
-        )
+        finally:
+            results_rec, _ = rec_future.result()
         results_ocr = OCRSchema(words=ocr_aggregate(results_det, results_rec))
         return results_ocr, results_table, results_layout.paragraphs
 
