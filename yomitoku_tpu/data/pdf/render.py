@@ -26,7 +26,7 @@ import numpy as np
 from ...utils.logger import set_logger
 from .cos import Keyword, Name, Parser, Stream
 from .filters import IMAGE_FILTERS, decode_stream
-from .fonts import CFFFont, TrueTypeFont
+from .fonts import CFFFont, TrueTypeFont, Type1Font
 
 logger = set_logger(__name__)
 
@@ -187,13 +187,35 @@ class LoadedFont:
         self.upem = 1000.0
         self.cid_to_gid = None  # None => identity
         self.default_width = 1000.0
+        self.width_to_text = 0.001  # Widths -> text space (Type3: fm[0])
         self.widths = {}
         self.code_to_gid = None
+        self.is_type3 = False
+        self.substitute = None  # (TrueTypeFont, code->unicode) fallback
 
         if "Type0" in self.subtype:
             self._load_type0(f)
+        elif "Type3" in self.subtype:
+            self._load_type3(f)
         else:
             self._load_simple(f)
+
+        if (
+            self.glyph_source is None
+            and not self.is_type3
+            and _substitute_font() is not None
+        ):
+            # No usable embedded program (non-embedded font, or an
+            # undecodable one): substitute the bundled MPLUS1p face so
+            # text still rasterizes for OCR — pdfium does the equivalent
+            # behind reference data/functions.py:96-155.  Never silent.
+            self.substitute = (_substitute_font(), self._code_to_unicode(f))
+            base = self.doc.resolve(f.get(Name("BaseFont"), ""))
+            logger.warning(
+                "font %s (%s) has no usable embedded program; substituting "
+                "bundled MPLUS1p for rasterization",
+                base, self.subtype or "?",
+            )
 
     # -- loading ---------------------------------------------------------
 
@@ -257,7 +279,18 @@ class LoadedFont:
 
     def _load_simple(self, f):
         data, kind = self._font_program(f.get(Name("FontDescriptor")))
-        code_to_name = dict(_standard_encoding())
+        t1 = None
+        if data is not None and kind == "t1":
+            try:
+                t1 = Type1Font(data)
+            except Exception as e:
+                logger.warning("Type1 program failed to parse: %s", e)
+                data = None
+
+        code_to_name = dict(
+            (t1.builtin_encoding if t1 is not None and t1.builtin_encoding
+             else _standard_encoding())
+        )
         enc = self.doc.resolve(f.get(Name("Encoding")))
         if isinstance(enc, dict):
             diffs = self.doc.resolve(enc.get(Name("Differences")))
@@ -271,7 +304,16 @@ class LoadedFont:
                         code_to_name[code] = str(item)
                         code += 1
 
-        if data is not None and kind == "cff":
+        if t1 is not None:
+            self.glyph_source = t1
+            fm = t1.font_matrix
+            self.upem = 1.0 / fm[0] if fm[0] else 1000.0
+            self.code_to_gid = {
+                code: t1.name_to_gid[nm]
+                for code, nm in code_to_name.items()
+                if nm in t1.name_to_gid
+            }
+        elif data is not None and kind == "cff":
             cff = CFFFont(data)
             self.glyph_source = cff
             fm = cff.font_matrix
@@ -302,8 +344,19 @@ class LoadedFont:
             tt = TrueTypeFont(data)
             self.glyph_source = tt
             self.upem = float(tt.units_per_em)
-            # no cmap parsing: assume (3,1) unicode == latin-1 code
-            self.code_to_gid = None  # fall back to identity-ish
+            try:
+                cmap = tt.cmap()
+            except Exception:
+                cmap = {}
+            if cmap:
+                # (3,1)-style unicode cmap: latin-1 code == codepoint;
+                # symbolic fonts map through the 0xF000 private-use page
+                self.code_to_gid = {
+                    c: cmap.get(c) or cmap.get(0xF000 + c) or 0
+                    for c in range(256)
+                }
+            else:
+                self.code_to_gid = None  # no cmap: gid == code
 
         first = int(self.doc.resolve(f.get(Name("FirstChar"), 0)) or 0)
         widths = self.doc.resolve(f.get(Name("Widths")))
@@ -315,6 +368,88 @@ class LoadedFont:
             self.doc.resolve((fd or {}).get(Name("MissingWidth"), 500)) or 500
         )
 
+    def _load_type3(self, f):
+        """Type3 glyphs are content streams (CharProcs) drawn in glyph
+        space through /FontMatrix — the renderer executes them with its
+        normal operator loop (reference behavior via pdfium,
+        data/functions.py:96-155)."""
+        doc = self.doc
+        self.is_type3 = True
+        fm = doc.resolve(f.get(Name("FontMatrix")))
+        self.font_matrix = (
+            tuple(float(doc.resolve(v)) for v in fm)
+            if fm
+            else (0.001, 0.0, 0.0, 0.001, 0.0, 0.0)
+        )
+        self.width_to_text = self.font_matrix[0]
+        self.t3_resources = doc.resolve(f.get(Name("Resources")))
+        procs = doc.resolve(f.get(Name("CharProcs"))) or {}
+        self.code_to_name = {}
+        enc = doc.resolve(f.get(Name("Encoding")))
+        if isinstance(enc, dict):
+            diffs = doc.resolve(enc.get(Name("Differences"))) or []
+            code = 0
+            for item in diffs:
+                item = doc.resolve(item)
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                else:
+                    self.code_to_name[code] = str(item)
+                    code += 1
+        self.char_procs = {}
+        for code, nm in self.code_to_name.items():
+            proc = doc.resolve(procs.get(Name(nm)))
+            if isinstance(proc, Stream):
+                self.char_procs[code] = proc
+
+        first = int(doc.resolve(f.get(Name("FirstChar"), 0)) or 0)
+        widths = doc.resolve(f.get(Name("Widths")))
+        if widths:
+            for k, wv in enumerate(widths):
+                self.widths[first + k] = float(doc.resolve(wv))
+        self.default_width = 0.0
+
+    def _code_to_unicode(self, f):
+        """code -> unicode codepoint for the substitute face: the font's
+        /ToUnicode CMap when present (the common case for generated
+        PDFs), else the glyph-name/latin-1 heuristics."""
+        doc = self.doc
+        tu = doc.resolve(f.get(Name("ToUnicode")))
+        if isinstance(tu, Stream):
+            try:
+                mapping = _parse_tounicode(doc.get_stream_data(tu))
+                if mapping:
+                    return mapping
+            except Exception as e:
+                logger.warning("ToUnicode CMap failed to parse: %s", e)
+        if self.two_byte:
+            # No ToUnicode on a CID font: assume the codes are already
+            # unicode-ish (true for UCS2 CMaps; wrong-but-visible glyphs
+            # beat blank text for Identity-H without ToUnicode)
+            return {}
+        # simple font: map through glyph names where they look like
+        # uniXXXX, else latin-1 identity
+        out = {}
+        enc = doc.resolve(f.get(Name("Encoding")))
+        if isinstance(enc, dict):
+            diffs = doc.resolve(enc.get(Name("Differences"))) or []
+            code = 0
+            for item in diffs:
+                item = doc.resolve(item)
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                else:
+                    nm = str(item)
+                    if nm.startswith("uni") and len(nm) >= 7:
+                        try:
+                            out[code] = int(nm[3:7], 16)
+                        except ValueError:
+                            pass
+                    elif len(nm) == 1:
+                        out[code] = ord(nm)
+                    code += 1
+        return out
+
     # -- use -------------------------------------------------------------
 
     def iter_codes(self, raw: bytes):
@@ -325,9 +460,27 @@ class LoadedFont:
             yield from raw
 
     def width_1000(self, code):
-        return self.widths.get(code, self.default_width)
+        w = self.widths.get(code)
+        if w is not None:
+            return w
+        if self.substitute is not None:
+            # no /Widths entry: use the substitute face's advance so
+            # lines keep plausible spacing
+            sub, c2u = self.substitute
+            gid = sub.cmap().get(c2u.get(code, code), 0)
+            if gid:
+                try:
+                    return (
+                        sub.advance_width(gid) * 1000.0 / sub.units_per_em
+                    )
+                except Exception:
+                    pass
+        return self.default_width
 
     def gid_for(self, code):
+        if self.substitute is not None:
+            sub, c2u = self.substitute
+            return sub.cmap().get(c2u.get(code, code), 0)
         if self.two_byte:
             if self.cid_to_gid is not None:
                 g = self.cid_to_gid.get(code)
@@ -337,11 +490,20 @@ class LoadedFont:
             return self.code_to_gid.get(code, 0)
         return code
 
+    def glyph_upem(self):
+        if self.substitute is not None:
+            return float(self.substitute[0].units_per_em)
+        return self.upem or 1000.0
+
     def glyph_path(self, gid):
-        if self.glyph_source is None:
+        source = (
+            self.substitute[0] if self.substitute is not None
+            else self.glyph_source
+        )
+        if source is None:
             return []
         try:
-            return self.glyph_source.glyph_path(gid)
+            return source.glyph_path(gid)
         except Exception:
             return []
 
@@ -350,6 +512,94 @@ def _read_index_names(data, pos):
     return __import__(
         "yomitoku_tpu.data.pdf.fonts", fromlist=["_read_index"]
     )._read_index(data, pos)
+
+
+_SUBSTITUTE_FONT = [None]
+
+
+def _substitute_font():
+    """Lazily-loaded bundled fallback face (MPLUS1p: full JIS kanji/kana
+    coverage) used when a PDF font has no usable embedded program."""
+    if _SUBSTITUTE_FONT[0] is None:
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)
+            ))),
+            "resource", "MPLUS1p-Medium.ttf",
+        )
+        try:
+            with open(path, "rb") as fh:
+                _SUBSTITUTE_FONT[0] = TrueTypeFont(fh.read())
+        except Exception as e:
+            logger.warning("substitute font unavailable: %s", e)
+            _SUBSTITUTE_FONT[0] = False
+    return _SUBSTITUTE_FONT[0] or None
+
+
+def _parse_tounicode(data: bytes):
+    """/ToUnicode CMap -> {code: unicode codepoint} (beginbfchar and
+    beginbfrange sections; multi-char targets keep the first scalar)."""
+    mapping = {}
+    p = Parser(data, 0)
+    mode = None
+    pending = []
+
+    def _uni(b):
+        if len(b) >= 2:
+            cp = int.from_bytes(b[:2], "big")
+            # surrogate pair -> scalar
+            if 0xD800 <= cp <= 0xDBFF and len(b) >= 4:
+                lo = int.from_bytes(b[2:4], "big")
+                return 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
+            return cp
+        return b[0] if b else 0
+
+    while True:
+        p.skip_ws()
+        if p.pos >= len(p.data):
+            break
+        try:
+            obj = p.parse_object()
+        except Exception:
+            break
+        if isinstance(obj, Keyword):
+            kw = str(obj)
+            if kw in ("beginbfchar", "beginbfrange"):
+                mode = kw
+                pending = []
+            elif kw in ("endbfchar", "endbfrange"):
+                if mode == "beginbfchar":
+                    for k in range(0, len(pending) - 1, 2):
+                        src, dst = pending[k], pending[k + 1]
+                        if isinstance(src, bytes) and isinstance(dst, bytes):
+                            mapping[int.from_bytes(src, "big")] = _uni(dst)
+                else:
+                    for k in range(0, len(pending) - 2, 3):
+                        lo, hi, dst = pending[k : k + 3]
+                        if not (
+                            isinstance(lo, bytes) and isinstance(hi, bytes)
+                        ):
+                            continue
+                        lo_i = int.from_bytes(lo, "big")
+                        hi_i = int.from_bytes(hi, "big")
+                        if hi_i - lo_i > 0x10000:
+                            continue
+                        if isinstance(dst, bytes):
+                            base = _uni(dst)
+                            for c in range(lo_i, hi_i + 1):
+                                mapping[c] = base + (c - lo_i)
+                        elif isinstance(dst, list):
+                            for c, d in zip(range(lo_i, hi_i + 1), dst):
+                                if isinstance(d, bytes):
+                                    mapping[c] = _uni(d)
+                mode = None
+                pending = []
+            continue
+        if mode is not None:
+            pending.append(obj)
+    return mapping
 
 
 # --------------------------------------------------------------- rendering
@@ -663,7 +913,11 @@ class PageRenderer:
                     if key not in self.font_cache:
                         try:
                             self.font_cache[key] = LoadedFont(doc, fobj)
-                        except Exception:
+                        except Exception as e:
+                            logger.warning(
+                                "font %s failed to load (%s); its text "
+                                "will not rasterize", fname, e,
+                            )
                             self.font_cache[key] = None
                     ts["font"] = self.font_cache[key]
                 elif op == "Tc":
@@ -814,11 +1068,13 @@ class PageRenderer:
         size = ts["size"]
         th = ts["scale"] / 100.0
         visible = ts["render"] not in (3, 7)
-        upem = font.upem or 1000.0
+        upem = font.glyph_upem()
 
         for code in font.iter_codes(raw):
-            w0 = font.width_1000(code) / 1000.0
-            if visible:
+            w0 = font.width_1000(code) * font.width_to_text
+            if visible and font.is_type3:
+                self._draw_type3_glyph(font, code, ts, tm, state)
+            elif visible:
                 gid = font.gid_for(code)
                 # glyph units -> text space -> user -> device
                 g2t = (
@@ -836,6 +1092,29 @@ class PageRenderer:
                     adv += ts["word_spacing"] * th
                 tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
         return tm
+
+    def _draw_type3_glyph(self, font, code, ts, tm, state):
+        """Execute the glyph's CharProc content stream in glyph space:
+        FontMatrix x (size scale) x Tm x CTM, with the font's own
+        resources.  d0/d1 inside the proc are no-ops here (glyph metrics
+        come from /Widths)."""
+        proc = font.char_procs.get(code)
+        if proc is None:
+            return
+        size = ts["size"]
+        th = ts["scale"] / 100.0
+        g2t = (size * th, 0.0, 0.0, size, 0.0, ts["rise"])
+        sub_state = state.copy()
+        sub_state.ctm = _mat_mul(
+            font.font_matrix, _mat_mul(g2t, _mat_mul(tm, state.ctm))
+        )
+        resources = font.t3_resources
+        if resources is None:
+            resources = {}
+        try:
+            self._run(self.doc.get_stream_data(proc), resources, sub_state)
+        except Exception as e:
+            logger.warning("Type3 glyph proc failed: %s", e)
 
     def _draw_glyph(self, font, gid, trm, state):
         # cache on quantized matrix
