@@ -594,14 +594,25 @@ def run_device_composite():
     h, w = rec.core.img_size
     crops = jnp.asarray(rng.randint(0, 255, (128, h, w, 3), np.uint8))
     rec_s = _best(lambda: rec._tokens_fn(rec.dparams, crops, True, 1), 10)
-    # opt-in width bucket (YOMITOKU_TPU_REC_WIDTH_BUCKETS): encoder at
-    # half canvas — upper bound of the bucketed recognizer's win on
-    # short-line pages
+    # width bucket (default-audited, text_recognizer._width_buckets):
+    # encoder at half canvas — upper bound of the bucketed recognizer's
+    # win on short-line pages
     crops_400 = crops[:, :, : w // 2]
     rec400_s = _best(
         lambda: rec._tokens_fn(rec.dparams, crops_400, True, 1), 10
     )
-    return det_s, lay_s, rec_s, rec400_s
+    # mixed-width routed schedule: the router's exact dispatch sequence
+    # for a 112-short / 16-wide page (batch buckets pad the wide group to
+    # 32) — 128@w/2 then 32@w, vs the unrouted single 128@w dispatch
+    crops_wide32 = crops[:32]
+    rec_routed_mixed_s = _best(
+        lambda: (
+            rec._tokens_fn(rec.dparams, crops_400, True, 1),
+            rec._tokens_fn(rec.dparams, crops_wide32, True, 1),
+        )[-1],
+        10,
+    )
+    return det_s, lay_s, rec_s, rec400_s, rec_routed_mixed_s
 
 
 def measure_link():
@@ -868,10 +879,16 @@ def main():
             return None
         return round(ms_val / floor, 2)
 
-    det_s = lay_s = rec_s = rec400_s = None
+    det_s = lay_s = rec_s = rec400_s = rec_routed_mixed_s = None
     if budget_left() > 60:
         try:
-            det_s, lay_s, rec_s, rec400_s = run_device_composite()
+            (
+                det_s,
+                lay_s,
+                rec_s,
+                rec400_s,
+                rec_routed_mixed_s,
+            ) = run_device_composite()
         except Exception as e:
             skipped.append(f"device_composite: {type(e).__name__}")
     else:
@@ -945,10 +962,22 @@ def main():
                     "parseq_large_b128_lines_per_sec": (
                         round(128 / rec_s, 1) if rec_s else None
                     ),
-                    # opt-in width bucket (short-line upper bound; see
-                    # text_recognizer._width_buckets)
+                    # width bucket (audited default; short-line upper
+                    # bound; see text_recognizer._width_buckets)
                     "parseq_large_b128_lines_per_sec_w400": (
                         round(128 / rec400_s, 1) if rec400_s else None
+                    ),
+                    # mixed 112-short/16-wide page through the router's
+                    # exact dispatch schedule (128@400 + 32@800)
+                    "parseq_large_b128_lines_per_sec_routed_mixed": (
+                        round(128 / rec_routed_mixed_s, 1)
+                        if rec_routed_mixed_s
+                        else None
+                    ),
+                    "routed_mixed_vs_unrouted": (
+                        round(rec_s / rec_routed_mixed_s, 2)
+                        if rec_s and rec_routed_mixed_s
+                        else None
                     ),
                     "parseq_large_b128_lines_per_sec_earlyexit_k25": (
                         round(128 / early_rec_s, 1) if early_rec_s else None

@@ -122,9 +122,11 @@ def validate_parseq(rng, crops=None):
     print(f"parseq int8-K/V greedy agreement: {agree:.4f} "
           f"({'OK' if agree >= 0.999 else 'AUDIT: consider YOMITOKU_TPU_INT8_KV=0'})")
 
-    # width-bucket audit (opt-in YOMITOKU_TPU_REC_WIDTH_BUCKETS): greedy
-    # ids for narrow content at half canvas vs the full padded canvas —
-    # run before enabling the buckets in production
+    # width-bucket audit: greedy ids for narrow content at half canvas vs
+    # the full padded canvas.  TextRecognizer runs the same audit at
+    # real-checkpoint load (audit_width_buckets) and auto-enables the
+    # bucket only on full agreement; this offline report is the
+    # bulk-sample version of that gate.
     narrow = np.array(crops)
     narrow[:, :, w // 2 :] = -1.0  # blank the right half (pad value)
     ids_full, _ = model.forward_tokens(narrow)
@@ -133,7 +135,7 @@ def validate_parseq(rng, crops=None):
     )
     agree_w = float((ids_full == ids_half).mean())
     print(f"parseq width-bucket (w={w // 2}) greedy agreement: {agree_w:.4f} "
-          f"({'OK' if agree_w >= 0.999 else 'AUDIT: keep YOMITOKU_TPU_REC_WIDTH_BUCKETS unset'})")
+          f"({'OK (load-time audit will auto-enable)' if agree_w >= 0.999 else 'AUDIT: set YOMITOKU_TPU_REC_WIDTH_BUCKETS=0'})")
     return ok
 
 

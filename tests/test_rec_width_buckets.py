@@ -146,3 +146,96 @@ def test_width_buckets_with_orientation_fallback(monkeypatch):
     preds, scores, dirs, pts = rec._call_device(img, quads)
     assert len(preds) == len(quads) == len(pts)
     assert all(isinstance(p, str) for p in preds)
+
+
+def test_width_bucket_env_semantics(monkeypatch):
+    rec = _recognizer()
+    # rec_small: full canvas 32, patch width 8 -> default half bucket 16
+    assert rec._default_width_buckets() == [16]
+
+    # unset -> audited auto state (None here: random weights, no audit ran)
+    monkeypatch.delenv("YOMITOKU_TPU_REC_WIDTH_BUCKETS", raising=False)
+    assert rec._auto_width_buckets is None
+    assert rec._width_buckets() is None
+    # the audit enables the default through the auto state
+    rec._auto_width_buckets = [16]
+    assert rec._width_buckets() == [16]
+
+    # explicit disable wins over auto
+    for off in ("0", "off", "none", "FALSE"):
+        monkeypatch.setenv("YOMITOKU_TPU_REC_WIDTH_BUCKETS", off)
+        assert rec._width_buckets() is None
+    # explicit force (patch-multiple widths under the full canvas)
+    monkeypatch.setenv("YOMITOKU_TPU_REC_WIDTH_BUCKETS", "8,16")
+    assert rec._width_buckets() == [8, 16]
+    monkeypatch.setenv("YOMITOKU_TPU_REC_WIDTH_BUCKETS", "12,64")
+    assert rec._width_buckets() is None  # 12 not a patch multiple, 64 >= 32
+
+
+def test_width_bucket_audit_gates_on_greedy_parity(monkeypatch):
+    """The load-time audit enables the default bucket iff every probe
+    string matches between the narrow- and full-canvas programs."""
+    rec = _recognizer()
+    calls = []
+
+    def agree(page, mats, wh, out_w=None):
+        calls.append(out_w)
+        n = len(mats)
+        ids = np.full((n, 4), 3, np.int64)
+        ids[:, -1] = 0  # EOS
+        return ids, np.full((n, 4), 0.9, np.float32)
+
+    monkeypatch.setattr(rec.model, "forward_tokens_from_page", agree)
+    assert rec.audit_width_buckets() == [16]
+    assert calls == [None, 16]  # full canvas then narrow canvas
+
+    def diverge(page, mats, wh, out_w=None):
+        n = len(mats)
+        fill = 3 if out_w is None else 4
+        ids = np.full((n, 4), fill, np.int64)
+        ids[:, -1] = 0
+        return ids, np.full((n, 4), 0.9, np.float32)
+
+    monkeypatch.setattr(rec.model, "forward_tokens_from_page", diverge)
+    assert rec.audit_width_buckets() is None
+
+
+def test_width_bucket_audit_real_forward(monkeypatch):
+    """Drive the audit through the real model programs: probes cover
+    horizontal and vertical-rotated aspect ratios, all fitting the
+    bucket, and the audit returns a definite verdict without raising.
+    (Random weights make the verdict itself seed-dependent; parity on
+    real checkpoints is what the audit exists to measure.)"""
+    monkeypatch.setenv("YOMITOKU_TPU_DEVICE_CROPS", "1")
+    rec = _recognizer()
+    out = rec.audit_width_buckets()
+    assert out in (None, [16])
+
+
+def test_router_cost_guard_skips_lossy_split(monkeypatch):
+    """A 64/64 narrow/wide mix would pad to 128@16 + 128@32 (1.5x the
+    work of one 128@32 dispatch) -- the router must fall back to a single
+    full-width dispatch; a cheap split (2 narrow / 1 wide) still routes."""
+    monkeypatch.setenv("YOMITOKU_TPU_REC_WIDTH_BUCKETS", "16")
+    rec = _recognizer()
+    seen = []
+
+    def fake_run(page, mats, valid_wh, points, out_w=None):
+        seen.append((len(mats), out_w))
+        n = len(mats)
+        return ["x"] * n, [0.5] * n, ["horizontal"] * n
+
+    monkeypatch.setattr(rec, "_run_batch_inference_page_w", fake_run)
+
+    mats = np.tile(np.eye(3, dtype=np.float32), (128, 1, 1))
+    wh = np.zeros((128, 2), np.int32)
+    wh[:64] = (10, 8)   # narrow: fits 16
+    wh[64:] = (30, 8)   # wide: full canvas
+    pts = [[[0, 0], [1, 0], [1, 1], [0, 1]]] * 128
+    rec._run_batch_inference_page(None, mats, wh, pts)
+    assert seen == [(128, None)]
+
+    seen.clear()
+    rec._run_batch_inference_page(None, mats[:3], wh[62:65], pts[:3])
+    # 2 narrow (bucket 8@16) + 1 wide (bucket 1@32) < 8@32 -> split kept
+    assert sorted(seen) == [(1, None), (2, 16)]

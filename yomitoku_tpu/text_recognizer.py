@@ -96,6 +96,97 @@ class TextRecognizer(BaseModule):
         self.rec_orientation_fallback = rec_orientation_fallback
         self.rec_orientation_fallback_thresh = rec_orientation_fallback_thresh
 
+        # self-verifying width-bucket default (mirrors the int8-KV audit):
+        # on first load of REAL params with the device-crop path active,
+        # audit narrow-canvas greedy parity against the full canvas and
+        # auto-enable the half-width bucket only when every string agrees.
+        # Random weights keep buckets off (near-uniform logits make argmax
+        # flip on the padding-token delta; see _width_buckets).
+        self._auto_width_buckets = None
+        if (
+            self.model.pretrained_source is not None
+            and not os.environ.get("YOMITOKU_TPU_REC_WIDTH_BUCKETS")
+            and not os.environ.get("YOMITOKU_TPU_SKIP_WIDTH_AUDIT")
+            and self._use_device_crops()
+        ):
+            self._auto_width_buckets = self.audit_width_buckets()
+
+    def _default_width_buckets(self):
+        full_w = int(self._cfg.data.img_size[1])
+        pw = int(self.model.core.enc_patch_size[1])
+        half = (full_w // 2) // pw * pw
+        return [half] if 0 < half < full_w else None
+
+    def audit_width_buckets(self):
+        """Greedy-parity audit for the half-width recognizer bucket.
+
+        Builds a synthetic page of lines at varied aspect ratios (wide,
+        medium, near-bucket, vertical-rotated) whose aspect-preserved
+        content widths all fit the candidate bucket, decodes them through
+        the full-canvas and narrow-canvas programs, and enables the bucket
+        only when every greedy string agrees.  The narrow crop is
+        bit-identical to the left slice of the full crop; the only numeric
+        delta is the absent black padding patches, whose effect this audit
+        measures on the loaded weights instead of assuming."""
+        buckets = self._default_width_buckets()
+        if not buckets:
+            return None
+        import jax.numpy as jnp
+
+        from .ops.device_crop import line_homographies, pad_page
+        from .utils.logger import set_logger
+
+        oh, ow = (int(x) for x in self._cfg.data.img_size)
+        b = buckets[-1]
+        rng = np.random.RandomState(0)
+        h_line = min(10, oh)
+        # (w_px, h_px) crops; shrink-only resize keeps content width = w_px
+        # (rotated lines: = h_px) since every crop already fits the canvas
+        shapes = [
+            (max(1, int(f * b)), h_line) for f in (0.3, 0.55, 0.8, 1.0)
+        ]
+        shapes.append((max(1, min(6, int(0.2 * b))), max(1, int(0.8 * b))))
+        page_w = max(w for w, _ in shapes) + 8
+        page_h = sum(h + 4 for _, h in shapes) + 8
+        page = np.full((page_h, page_w, 3), 255, np.uint8)
+        quads, y = [], 4
+        for w_px, h_px in shapes:
+            page[y : y + h_px, 4 : 4 + w_px] = rng.randint(
+                0, 255, (h_px, w_px, 3)
+            )
+            quads.append(
+                [[4, y], [4 + w_px, y], [4 + w_px, y + h_px], [4, y + h_px]]
+            )
+            y += h_px + 4
+        mats, wh = line_homographies(quads, (oh, ow))
+        assert int(wh[:, 0].max()) <= b, "audit line exceeds the bucket"
+        page_dev = jnp.asarray(pad_page(page))
+        full_s, _ = self.tokenizer.decode_ids(
+            *self.model.forward_tokens_from_page(page_dev, mats, wh)
+        )
+        narrow_s, _ = self.tokenizer.decode_ids(
+            *self.model.forward_tokens_from_page(page_dev, mats, wh, out_w=b)
+        )
+        agree = sum(a == c for a, c in zip(full_s, narrow_s))
+        if agree == len(full_s):
+            set_logger(__name__).info(
+                "recognizer width bucket w=%d enabled: narrow-canvas greedy "
+                "audit matched the full canvas on all %d probes "
+                "(YOMITOKU_TPU_REC_WIDTH_BUCKETS=0 to disable)",
+                b,
+                len(full_s),
+            )
+            return buckets
+        set_logger(__name__).warning(
+            "recognizer width bucket disabled: narrow-canvas greedy audit "
+            "diverged from the full canvas on %d/%d probes "
+            "(YOMITOKU_TPU_REC_WIDTH_BUCKETS=%d to force)",
+            len(full_s) - agree,
+            len(full_s),
+            b,
+        )
+        return None
+
     def preprocess(self, img, polygons):
         if polygons is None:
             h, w = img.shape[:2]
@@ -178,17 +269,31 @@ class TextRecognizer(BaseModule):
         return ids[:n], probs[:n]
 
     def _width_buckets(self):
-        """Opt-in recognizer width buckets (YOMITOKU_TPU_REC_WIDTH_BUCKETS,
-        e.g. "400" or "256,512").  Lines whose content fits a narrower
-        canvas run the encoder at that width — the crop is bit-identical
-        to the left slice of the full-width crop and the ViT slices its
-        position-embedding grid, but the model no longer sees the full
-        800-px padded canvas the reference always feeds it, so outputs
-        can differ from reference numerics.  Serving optimization for the
-        encoder-bound recognizer (~2x encoder FLOPs at w=400); validate
-        against real checkpoints before enabling in production."""
+        """Recognizer width buckets — audited default (device-crop path).
+
+        Routing is content-aware and never truncates: a line is sent to a
+        narrower bucket only when its aspect-preserved resized content
+        width (valid_wh[0], known at preprocess time) fits entirely, and
+        the narrow crop is bit-identical to the left slice of the
+        full-width crop (tests/test_rec_width_buckets.py).  The ViT
+        slices its position-embedding grid to match.  The one numeric
+        delta vs the reference's fixed 32x800 canvas
+        (configs/cfg_text_recognizer_parseq.py:11) is the absent black
+        padding patches — those DO participate in encoder attention, so
+        narrow-canvas greedy strings are not identical-by-construction
+        (measured: random weights flip argmax).  Hence the default is the
+        load-time audit (audit_width_buckets): real checkpoints enable the
+        half-width bucket automatically when greedy parity holds on the
+        probe set; random weights keep buckets off.  ~2x encoder FLOPs
+        saved at half canvas for short lines.
+
+        YOMITOKU_TPU_REC_WIDTH_BUCKETS overrides: "0"/"off" disables,
+        "400" or "256,512" forces explicit widths (patch-width multiples
+        < full canvas) with no audit; unset = audited auto."""
         env = os.environ.get("YOMITOKU_TPU_REC_WIDTH_BUCKETS", "").strip()
         if not env:
+            return getattr(self, "_auto_width_buckets", None)
+        if env.lower() in ("0", "off", "none", "false"):
             return None
         full_w = int(self._cfg.data.img_size[1])
         pw = int(self.model.core.enc_patch_size[1])
@@ -203,8 +308,8 @@ class TextRecognizer(BaseModule):
         return sorted(set(buckets)) or None
 
     def _run_batch_inference_page(self, page, mats, valid_wh, points):
-        """Opt-in width-bucket router (see _width_buckets), then per-group
-        crop-program routing."""
+        """Content-aware width-bucket router (default on, see
+        _width_buckets), then per-group crop-program routing."""
         buckets = self._width_buckets()
         if not buckets:
             return self._run_batch_inference_page_w(
@@ -222,6 +327,29 @@ class TextRecognizer(BaseModule):
             (b,) = groups
             return self._run_batch_inference_page_w(
                 page, mats, valid_wh, points, out_w=b
+            )
+        # cost guard: batch-bucket padding (_infer_padded_page) can make a
+        # split SLOWER than one full-width dispatch (e.g. 64 narrow + 64
+        # wide pads to 128@half + 128@full = 1.5x the work of 128@full).
+        # Encoder cost ~ padded_batch * canvas_width; split only when the
+        # routed schedule is strictly cheaper.
+        full_w = int(self._cfg.data.img_size[1])
+
+        def _padded_cost(count, width):
+            bs = self._cfg.data.batch_size
+            whole, rem = divmod(count, bs)
+            cost = whole * bs * width
+            if rem:
+                cost += bucket_batch_size(rem, bs) * width
+            return cost
+
+        routed_cost = sum(
+            _padded_cost(len(idx), b if b is not None else full_w)
+            for b, idx in groups.items()
+        )
+        if routed_cost >= _padded_cost(n, full_w):
+            return self._run_batch_inference_page_w(
+                page, mats, valid_wh, points
             )
         preds, scores, directions = [None] * n, [None] * n, [None] * n
         for b, idx in groups.items():
