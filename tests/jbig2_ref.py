@@ -424,3 +424,344 @@ def text_region_segment(number, symdict_number, w, h, instances, symbols,
     body += mq.flush()
     return segment_header(number, 6, referred=[symdict_number],
                           length=len(body)) + bytes(body)
+
+
+# ---------------------------------------------------------------------------
+# Huffman mode (T.88 Annex B standard tables + section 6.5/6.4 Huffman
+# decoding paths).  Table data transcribed from T.88 Annex B; structural
+# invariants (contiguous value ranges, Kraft inequality, canonical
+# prefix-freeness) are pinned by test_jbig2_huffman_tables_wellformed.
+
+# (preflen, rangelen, rangelow, kind) — kind: "" normal, "lower" (value =
+# rangelow - offset, 32-bit), "oob".  Order matters: canonical prefix codes
+# are assigned in listed order per Annex B.3.
+STD_TABLES = {
+    1: [(1, 4, 0, ""), (2, 8, 16, ""), (3, 16, 272, ""),
+        (3, 32, 65808, "")],
+    2: [(1, 0, 0, ""), (2, 0, 1, ""), (3, 0, 2, ""), (4, 3, 3, ""),
+        (5, 6, 11, ""), (6, 32, 75, ""), (6, 0, 0, "oob")],
+    3: [(8, 8, -256, ""), (1, 0, 0, ""), (2, 0, 1, ""), (3, 0, 2, ""),
+        (4, 3, 3, ""), (5, 6, 11, ""), (8, 32, -257, "lower"),
+        (7, 32, 75, ""), (6, 0, 0, "oob")],
+    4: [(1, 0, 1, ""), (2, 0, 2, ""), (3, 0, 3, ""), (4, 3, 4, ""),
+        (5, 6, 12, ""), (5, 32, 76, "")],
+    5: [(7, 8, -255, ""), (1, 0, 1, ""), (2, 0, 2, ""), (3, 0, 3, ""),
+        (4, 3, 4, ""), (5, 6, 12, ""), (7, 32, -256, "lower"),
+        (6, 32, 76, "")],
+    6: [(5, 10, -2048, ""), (4, 9, -1024, ""), (4, 8, -512, ""),
+        (4, 7, -256, ""), (5, 6, -128, ""), (5, 5, -64, ""),
+        (4, 5, -32, ""), (2, 7, 0, ""), (3, 7, 128, ""), (3, 8, 256, ""),
+        (4, 9, 512, ""), (4, 10, 1024, ""), (6, 32, -2049, "lower"),
+        (6, 32, 2048, "")],
+    # B.7's (0..511)/(512..1535) prefix lengths are pinned by the
+    # completeness invariant (Kraft sum = 1) given the table's firmly
+    # documented negative side and 3-bit lower/upper lines — the unique
+    # completion, mirroring B.6's shortest-code-on-[0,..) design.
+    7: [(4, 9, -1024, ""), (3, 8, -512, ""), (4, 7, -256, ""),
+        (5, 6, -128, ""), (5, 5, -64, ""), (4, 5, -32, ""), (2, 9, 0, ""),
+        (3, 10, 512, ""), (3, 32, -1025, "lower"), (3, 32, 1536, "")],
+    8: [(8, 3, -15, ""), (9, 1, -7, ""), (8, 1, -5, ""), (9, 0, -3, ""),
+        (7, 0, -2, ""), (4, 0, -1, ""), (2, 1, 0, ""), (5, 0, 2, ""),
+        (6, 0, 3, ""), (3, 4, 4, ""), (6, 1, 20, ""), (4, 4, 22, ""),
+        (4, 5, 38, ""), (5, 6, 70, ""), (5, 7, 134, ""), (6, 7, 262, ""),
+        (7, 8, 390, ""), (6, 10, 646, ""), (9, 32, -16, "lower"),
+        (9, 32, 1670, ""), (2, 0, 0, "oob")],
+    9: [(8, 4, -31, ""), (9, 2, -15, ""), (8, 2, -11, ""), (9, 1, -7, ""),
+        (7, 1, -5, ""), (4, 1, -3, ""), (3, 1, -1, ""), (3, 1, 1, ""),
+        (5, 1, 3, ""), (6, 1, 5, ""), (3, 5, 7, ""), (6, 2, 39, ""),
+        (4, 5, 43, ""), (4, 6, 75, ""), (5, 7, 139, ""), (5, 8, 267, ""),
+        (6, 8, 523, ""), (7, 9, 779, ""), (6, 11, 1291, ""),
+        (9, 32, -32, "lower"), (9, 32, 3339, ""), (2, 0, 0, "oob")],
+    10: [(7, 4, -21, ""), (8, 0, -5, ""), (7, 0, -4, ""), (5, 0, -3, ""),
+         (2, 2, -2, ""), (5, 0, 2, ""), (6, 0, 3, ""), (7, 0, 4, ""),
+         (8, 0, 5, ""), (2, 6, 6, ""), (5, 5, 70, ""), (6, 5, 102, ""),
+         (7, 6, 134, ""), (8, 7, 198, ""), (8, 8, 326, ""),
+         (8, 9, 582, ""), (8, 10, 1094, ""), (7, 11, 2118, ""),
+         (8, 32, -22, "lower"), (8, 32, 4166, ""), (2, 0, 0, "oob")],
+    11: [(1, 0, 1, ""), (2, 1, 2, ""), (4, 0, 4, ""), (4, 1, 5, ""),
+         (5, 1, 7, ""), (5, 2, 9, ""), (6, 2, 13, ""), (7, 2, 17, ""),
+         (7, 3, 21, ""), (7, 4, 29, ""), (7, 5, 45, ""), (7, 6, 77, ""),
+         (7, 32, 141, "")],
+    12: [(1, 0, 1, ""), (2, 0, 2, ""), (3, 1, 3, ""), (5, 0, 5, ""),
+         (5, 1, 6, ""), (6, 1, 8, ""), (7, 0, 10, ""), (7, 1, 11, ""),
+         (7, 2, 13, ""), (7, 3, 17, ""), (7, 4, 25, ""), (8, 5, 41, ""),
+         (8, 32, 73, "")],
+    13: [(1, 0, 1, ""), (3, 0, 2, ""), (4, 0, 3, ""), (5, 0, 4, ""),
+         (4, 1, 5, ""), (3, 3, 7, ""), (6, 1, 15, ""), (6, 2, 17, ""),
+         (6, 3, 21, ""), (6, 4, 29, ""), (6, 5, 45, ""), (7, 6, 77, ""),
+         (7, 32, 141, "")],
+    14: [(3, 0, -2, ""), (3, 0, -1, ""), (1, 0, 0, ""), (3, 0, 1, ""),
+         (3, 0, 2, "")],
+    15: [(7, 4, -24, ""), (6, 2, -8, ""), (5, 1, -4, ""), (4, 0, -2, ""),
+         (3, 0, -1, ""), (1, 0, 0, ""), (3, 0, 1, ""), (4, 0, 2, ""),
+         (5, 1, 3, ""), (6, 2, 5, ""), (7, 4, 9, ""),
+         (7, 32, -25, "lower"), (7, 32, 25, "")],
+}
+
+
+class BitWriter:
+    """MSB-first bit writer (the Huffman-mode segment payload format)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def write(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.bits.append((int(value) >> i) & 1)
+
+    def align(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def write_bytes(self, data):
+        self.align()
+        for b in data:
+            self.write(b, 8)
+
+    def flush(self):
+        self.align()
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            v = 0
+            for b in self.bits[i : i + 8]:
+                v = (v << 1) | b
+            out.append(v)
+        return bytes(out)
+
+
+def assign_prefix_codes(lines):
+    """Canonical code assignment (T.88 B.3): by length ascending, in the
+    listed order within a length.  Lines with preflen 0 get no code."""
+    maxlen = max((ln[0] for ln in lines), default=0)
+    codes = {}
+    curcode = 0
+    for length in range(1, maxlen + 1):
+        for i, ln in enumerate(lines):
+            if ln[0] == length:
+                codes[i] = (length, curcode)
+                curcode += 1
+        curcode <<= 1
+    return codes
+
+
+class HuffEncoder:
+    """Encode values against one Annex-B-style table (list of lines)."""
+
+    def __init__(self, bw, lines):
+        self.bw = bw
+        self.lines = list(lines)
+        self.codes = assign_prefix_codes(self.lines)
+
+    def _emit(self, idx):
+        length, code = self.codes[idx]
+        self.bw.write(code, length)
+
+    def encode(self, value):
+        lower = upper = None
+        for i, (pl, rl, low, kind) in enumerate(self.lines):
+            if pl == 0:
+                continue
+            if kind == "lower":
+                lower = (i, low)
+                continue
+            if kind == "oob":
+                continue
+            if rl == 32:
+                upper = (i, low)
+                continue
+            if low <= value < low + (1 << rl):
+                self._emit(i)
+                self.bw.write(value - low, rl)
+                return
+        if lower is not None and value <= lower[1]:
+            self._emit(lower[0])
+            self.bw.write(lower[1] - value, 32)
+            return
+        if upper is not None and value >= upper[1]:
+            self._emit(upper[0])
+            self.bw.write(value - upper[1], 32)
+            return
+        raise ValueError(f"value {value} not encodable")
+
+    def encode_oob(self):
+        for i, ln in enumerate(self.lines):
+            if ln[3] == "oob":
+                self._emit(i)
+                return
+        raise ValueError("table has no OOB line")
+
+
+def custom_table_lines(lines, low, high, oob=False):
+    """The HuffEncoder line list equivalent to custom_table_segment's
+    payload — normal lines tiling [low, high), then lower/upper (and OOB)
+    in that listed order, matching the decoder's canonical assignment."""
+    out = []
+    cur = low
+    for preflen, rangelen in lines[: -3 if oob else -2]:
+        out.append((preflen, rangelen, cur, ""))
+        cur += 1 << rangelen
+    tail = lines[-3 if oob else -2 :]
+    out.append((tail[0][0], 32, low - 1, "lower"))
+    out.append((tail[1][0], 32, high, ""))
+    if oob:
+        out.append((tail[2][0], 0, 0, "oob"))
+    return out
+
+
+def huff_symbol_dict_segment(number, symbols, mmr_encode=None,
+                             dw_custom=None):
+    """SDHUFF=1 symbol dictionary: heights via B.4, widths via B.2 (or a
+    custom type-53 table via ``dw_custom=(table_segnum, enc_lines)``),
+    collective bitmaps per height class either uncompressed (BMSIZE=0,
+    row-byte-aligned) or MMR via ``mmr_encode(bitmap)->bytes``."""
+    body = bytearray()
+    flags = 1  # SDHUFF=1
+    referred = []
+    dw_lines = STD_TABLES[2]
+    if dw_custom is not None:
+        table_segnum, dw_lines = dw_custom
+        flags |= 3 << 4  # SDHUFFDW = custom
+        referred = [table_segnum]
+    body += flags.to_bytes(2, "big")
+    body += len(symbols).to_bytes(4, "big")  # SDNUMEXSYMS
+    body += len(symbols).to_bytes(4, "big")  # SDNUMNEWSYMS
+
+    bw = BitWriter()
+    dh = HuffEncoder(bw, STD_TABLES[4])
+    dw = HuffEncoder(bw, dw_lines)
+    bms = HuffEncoder(bw, STD_TABLES[1])
+    ex = HuffEncoder(bw, STD_TABLES[1])
+    hcheight = 0
+    i = 0
+    while i < len(symbols):
+        j = i
+        while j < len(symbols) and symbols[j].shape[0] == symbols[i].shape[0]:
+            j += 1
+        dh.encode(symbols[i].shape[0] - hcheight)
+        hcheight = symbols[i].shape[0]
+        symwidth = 0
+        for k in range(i, j):
+            dw.encode(symbols[k].shape[1] - symwidth)
+            symwidth = symbols[k].shape[1]
+        dw.encode_oob()
+        coll = np.concatenate([symbols[k] for k in range(i, j)], axis=1)
+        if mmr_encode is None:
+            bms.encode(0)
+            bw.align()
+            for row in coll:
+                for px in row:
+                    bw.write(int(px), 1)
+                bw.align()
+        else:
+            data = mmr_encode(coll)
+            bms.encode(len(data))
+            bw.write_bytes(data)
+        i = j
+    ex.encode(0)
+    ex.encode(len(symbols))
+    body += bw.flush()
+    return segment_header(number, 0, referred=referred,
+                          length=len(body)) + bytes(body)
+
+
+def huff_text_region_segment(number, symdict_number, w, h, instances,
+                             symbols, x=0, y=0, combop=0, refcorner=1,
+                             transposed=False, log2strips=0, sbcombop=0,
+                             dsoffset=0):
+    """SBHUFF=1 text region: FS via B.6, DS via B.8, DT via B.11; symbol
+    ID codes carried by the runcode mechanism (7.4.3.1.7) with one
+    fixed length for every symbol."""
+    body = bytearray(region_info(w, h, x, y, combop))
+    flags = (
+        1  # SBHUFF
+        | (refcorner << 4)
+        | ((1 if transposed else 0) << 6)
+        | (log2strips << 2)
+        | ((sbcombop & 3) << 7)
+        | ((dsoffset & 0x1F) << 10)
+    )
+    body += flags.to_bytes(2, "big")
+    body += (0).to_bytes(2, "big")  # huffman flags: all selectors 0
+    body += len(instances).to_bytes(4, "big")
+
+    codelen = max(1, (len(symbols) - 1).bit_length())
+    sbstrips = 1 << log2strips
+    bw = BitWriter()
+    # runcode lengths: only runcode `codelen` used, with prefix length 1
+    for i in range(35):
+        bw.write(1 if i == codelen else 0, 4)
+    # every symbol's code length = codelen, emitted as 1-bit runcodes
+    for _ in range(len(symbols)):
+        bw.write(0, 1)  # the single runcode's canonical code is "0"
+    bw.align()
+
+    dt = HuffEncoder(bw, STD_TABLES[11])
+    fs = HuffEncoder(bw, STD_TABLES[6])
+    ds = HuffEncoder(bw, STD_TABLES[8])
+
+    def coords(sid, px, py):
+        sh, sw = symbols[sid].shape
+        if not transposed:
+            s = px
+            t = py if refcorner in (1, 3) else py + sh - 1
+            adv = sw - 1
+        else:
+            s = py
+            t = px if refcorner in (0, 1) else px + sw - 1
+            adv = sh - 1
+        return s, t, adv
+
+    conv = [(sid,) + coords(sid, px, py) for sid, px, py in instances]
+    conv.sort(key=lambda e: ((e[2] // sbstrips) * sbstrips, e[1]))
+    # table B.11 has no zero: start STRIPT one strip below the page so the
+    # first strip's DT delta is >= 1
+    dt.encode(1)
+    stript = -sbstrips
+    firsts = 0
+    i = 0
+    while i < len(conv):
+        strip_t = (conv[i][2] // sbstrips) * sbstrips
+        assert (strip_t - stript) % sbstrips == 0
+        dt.encode((strip_t - stript) // sbstrips)
+        stript = strip_t
+        curs = None
+        while i < len(conv) and (conv[i][2] // sbstrips) * sbstrips == strip_t:
+            sid, s, t, adv = conv[i]
+            if curs is None:
+                fs.encode(s - firsts)
+                firsts = s
+            else:
+                ds.encode(s - curs - dsoffset)
+            if sbstrips > 1:
+                bw.write(t - strip_t, log2strips)
+            bw.write(sid, codelen)  # fixed-length canonical symbol codes
+            curs = s + adv
+            i += 1
+        ds.encode_oob()
+    body += bw.flush()
+    return segment_header(number, 6, referred=[symdict_number],
+                          length=len(body)) + bytes(body)
+
+
+def custom_table_segment(number, lines, low, high, oob=False, htps=8,
+                         htrs=8):
+    """Type-53 custom Huffman table (T.88 B.2.4): ``lines`` are
+    (preflen, rangelen) pairs tiling [low, high); lower/upper prefix
+    lengths follow, then the OOB prefix length when ``oob``."""
+    bw = BitWriter()
+    cur = low
+    payload_lines = []
+    for preflen, rangelen in lines[: -3 if oob else -2]:
+        bw.write(preflen, htps)
+        bw.write(rangelen, htrs)
+        payload_lines.append((preflen, rangelen))
+        cur += 1 << rangelen
+    assert cur >= high, "lines must tile [low, high)"
+    for preflen, _ in lines[-3 if oob else -2 :]:
+        bw.write(preflen, htps)
+    body = bytearray()
+    body.append((1 if oob else 0) | ((htps - 1) << 1) | ((htrs - 1) << 4))
+    body += int(low).to_bytes(4, "big", signed=True)
+    body += int(high).to_bytes(4, "big", signed=True)
+    body += bw.flush()
+    return segment_header(number, 53, length=len(body)) + bytes(body)

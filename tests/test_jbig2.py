@@ -145,14 +145,16 @@ def test_single_symbol_dictionary():
     assert out[1:4, 1:4].sum() == 8 and out[1:4, 6:9].sum() == 8
 
 
-def test_unsupported_huffman_fails_loudly():
-    body = (1).to_bytes(2, "big")  # SDHUFF=1
+def test_unsupported_huffman_refagg_fails_loudly():
+    # SDHUFF + SDREFAGG is the one Huffman dictionary mode left out (no
+    # known encoder emits it) — it must fail loudly, not guess.
+    body = (3).to_bytes(2, "big")  # SDHUFF=1, SDREFAGG=1
     from jbig2_ref import segment_header
 
     stream = page_info_segment(1, 8, 8) + segment_header(
         2, 0, length=len(body)
     ) + body
-    with pytest.raises(ValueError, match="Huffman"):
+    with pytest.raises(ValueError, match="refinement"):
         _decode(stream, 8, 8)
 
 
@@ -331,3 +333,233 @@ def test_text_region_ds_offset_and_xor_compose():
     want[1 : 1 + a.shape[0], 2 : 2 + a.shape[1]] ^= a
     want[1 : 1 + a.shape[0], 4 : 4 + a.shape[1]] ^= a
     np.testing.assert_array_equal(out, want)
+
+
+# ---------------------------------------------------------------------------
+# Huffman mode (SDHUFF/SBHUFF, T.88 Annex B + 6.5/6.4 Huffman paths).
+# The oracle is the independent encoder in jbig2_ref.py.
+
+
+def _huff_glyphs():
+    """Heights strictly ascending (standard DH table B.4 has no zero or
+    negative deltas), widths non-descending within a height class (B.2)."""
+    a, b, c = _glyphs()
+    return [a, b, c]  # heights 3, 3, 4; widths 3, 4 | 5
+
+
+def _expect(instances, syms, w, h):
+    want = np.zeros((h, w), np.uint8)
+    for sid, x, y in instances:
+        s = syms[sid]
+        want[y : y + s.shape[0], x : x + s.shape[1]] |= s
+    return want
+
+
+def test_huffman_symbol_dict_text_region_roundtrip():
+    from jbig2_ref import huff_symbol_dict_segment, huff_text_region_segment
+
+    syms = _huff_glyphs()
+    instances = [(0, 2, 1), (1, 8, 1), (2, 15, 1), (1, 2, 8), (0, 10, 9)]
+    w, h = 26, 16
+    stream = (
+        page_info_segment(1, w, h)
+        + huff_symbol_dict_segment(2, syms)
+        + huff_text_region_segment(3, 2, w, h, instances, syms)
+    )
+    out = _decode(stream, w, h)
+    np.testing.assert_array_equal(out, _expect(instances, syms, w, h))
+
+
+def test_huffman_symbol_dict_mmr_collective_bitmap():
+    from jbig2_ref import huff_symbol_dict_segment, huff_text_region_segment
+    from test_pdf_render import _tiff_ccitt_strips
+
+    def mmr(bm):
+        return _tiff_ccitt_strips(bm, "group4")
+
+    syms = _huff_glyphs()
+    instances = [(2, 1, 2), (0, 9, 2), (1, 15, 2)]
+    w, h = 22, 9
+    stream = (
+        page_info_segment(1, w, h)
+        + huff_symbol_dict_segment(2, syms, mmr_encode=mmr)
+        + huff_text_region_segment(3, 2, w, h, instances, syms)
+    )
+    out = _decode(stream, w, h)
+    np.testing.assert_array_equal(out, _expect(instances, syms, w, h))
+
+
+def test_huffman_dict_with_arithmetic_text_region():
+    """Coding modes are per-segment: a Huffman dictionary's exported symbols
+    feed an arithmetic text region unchanged."""
+    from jbig2_ref import huff_symbol_dict_segment
+
+    syms = _huff_glyphs()
+    instances = [(0, 1, 1), (2, 7, 1)]
+    w, h = 14, 7
+    stream = (
+        page_info_segment(1, w, h)
+        + huff_symbol_dict_segment(2, syms)
+        + text_region_segment(3, 2, w, h, instances, syms)
+    )
+    out = _decode(stream, w, h)
+    np.testing.assert_array_equal(out, _expect(instances, syms, w, h))
+
+
+@pytest.mark.parametrize("refcorner", [0, 1, 2, 3])
+def test_huffman_text_region_refcorners(refcorner):
+    from jbig2_ref import huff_symbol_dict_segment, huff_text_region_segment
+
+    syms = _huff_glyphs()
+    instances = [(0, 2, 2), (2, 9, 5), (1, 16, 1)]
+    w, h = 24, 12
+    stream = (
+        page_info_segment(1, w, h)
+        + huff_symbol_dict_segment(2, syms)
+        + huff_text_region_segment(3, 2, w, h, instances, syms,
+                                   refcorner=refcorner)
+    )
+    out = _decode(stream, w, h)
+    np.testing.assert_array_equal(out, _expect(instances, syms, w, h))
+
+
+@pytest.mark.parametrize("refcorner", [0, 3])
+def test_huffman_text_region_transposed(refcorner):
+    from jbig2_ref import huff_symbol_dict_segment, huff_text_region_segment
+
+    syms = _huff_glyphs()
+    instances = [(0, 2, 1), (1, 2, 8), (2, 12, 3)]
+    w, h = 20, 14
+    stream = (
+        page_info_segment(1, w, h)
+        + huff_symbol_dict_segment(2, syms)
+        + huff_text_region_segment(3, 2, w, h, instances, syms,
+                                   refcorner=refcorner, transposed=True)
+    )
+    out = _decode(stream, w, h)
+    np.testing.assert_array_equal(out, _expect(instances, syms, w, h))
+
+
+def test_huffman_text_region_multirow_strips():
+    """SBSTRIPS=4 in Huffman mode: CURT is a raw 2-bit field per instance."""
+    from jbig2_ref import huff_symbol_dict_segment, huff_text_region_segment
+
+    syms = _huff_glyphs()
+    instances = [(0, 1, 1), (1, 6, 3), (2, 12, 2), (0, 18, 6), (1, 1, 9)]
+    w, h = 24, 14
+    stream = (
+        page_info_segment(1, w, h)
+        + huff_symbol_dict_segment(2, syms)
+        + huff_text_region_segment(3, 2, w, h, instances, syms,
+                                   log2strips=2)
+    )
+    out = _decode(stream, w, h)
+    np.testing.assert_array_equal(out, _expect(instances, syms, w, h))
+
+
+def test_huffman_text_region_ds_offset():
+    from jbig2_ref import huff_symbol_dict_segment, huff_text_region_segment
+
+    syms = _huff_glyphs()
+    instances = [(0, 2, 1), (0, 8, 1), (1, 14, 1)]
+    w, h = 20, 6
+    stream = (
+        page_info_segment(1, w, h)
+        + huff_symbol_dict_segment(2, syms)
+        + huff_text_region_segment(3, 2, w, h, instances, syms, dsoffset=2)
+    )
+    out = _decode(stream, w, h)
+    np.testing.assert_array_equal(out, _expect(instances, syms, w, h))
+
+
+def test_huffman_custom_dw_table():
+    """A type-53 custom table (selector 3) carries the width deltas —
+    including negative ones the standard B.2 table cannot encode."""
+    from jbig2_ref import (
+        custom_table_lines,
+        custom_table_segment,
+        huff_symbol_dict_segment,
+        huff_text_region_segment,
+    )
+
+    a, b, c = _glyphs()
+    syms = [b, a, c]  # widths 4 then 3 in the height-3 class: DW = -1
+    table_lines = [(2, 4), (3, 0), (3, 0), (1, 0)]  # [-8, 8) + lower/upper/oob
+    enc_lines = custom_table_lines(table_lines, low=-8, high=8, oob=True)
+    instances = [(0, 1, 1), (1, 7, 1), (2, 12, 1)]
+    w, h = 18, 6
+    stream = (
+        page_info_segment(1, w, h)
+        + custom_table_segment(5, table_lines, low=-8, high=8, oob=True)
+        + huff_symbol_dict_segment(2, syms, dw_custom=(5, enc_lines))
+        + huff_text_region_segment(3, 2, w, h, instances, syms)
+    )
+    out = _decode(stream, w, h)
+    np.testing.assert_array_equal(out, _expect(instances, syms, w, h))
+
+
+def test_huffman_in_globals_stream():
+    from jbig2_ref import huff_symbol_dict_segment, huff_text_region_segment
+
+    syms = _huff_glyphs()
+    instances = [(2, 1, 2), (0, 9, 2)]
+    w, h = 18, 10
+    globals_data = huff_symbol_dict_segment(2, syms)
+    stream = page_info_segment(1, w, h) + huff_text_region_segment(
+        3, 2, w, h, instances, syms
+    )
+    out = _decode(stream, w, h, globals_data=globals_data)
+    np.testing.assert_array_equal(out, _expect(instances, syms, w, h))
+
+
+def test_huffman_text_refinement_fails_loudly():
+    from jbig2_ref import region_info, segment_header
+
+    body = bytearray(region_info(8, 8, 0, 0, 0))
+    body += (3).to_bytes(2, "big")  # SBHUFF=1, SBREFINE=1
+    stream = (
+        page_info_segment(1, 8, 8)
+        + segment_header(3, 6, length=len(body))
+        + bytes(body)
+    )
+    with pytest.raises(ValueError, match="refinement"):
+        _decode(stream, 8, 8)
+
+
+def test_jbig2_huffman_tables_wellformed():
+    """Structural invariants of the transcribed Annex B tables: complete
+    canonical prefix codes (Kraft sum = 1), contiguous value ranges, and
+    lower/upper lines abutting the normal span."""
+    from jbig2_ref import STD_TABLES, assign_prefix_codes
+
+    for num, lines in STD_TABLES.items():
+        kraft = sum(
+            2.0 ** -preflen for preflen, _, _, _ in lines if preflen > 0
+        )
+        if num == 10:
+            # B.10 is the one deliberately incomplete code in Annex B
+            # (242/256); pin it exactly so a transcription slip still trips.
+            assert kraft == 242 / 256, f"table B.10 Kraft sum {kraft}"
+        else:
+            assert kraft == 1.0, f"table B.{num} Kraft sum {kraft}"
+        codes = assign_prefix_codes(lines)
+        seen = set()
+        for length, code in codes.values():
+            bits = format(code, f"0{length}b")
+            for prefix_len in range(1, len(bits)):
+                assert bits[:prefix_len] not in seen, f"B.{num} not prefix-free"
+            assert bits not in seen
+            seen.add(bits)
+        normal = sorted(
+            (low, rl) for _, rl, low, kind in lines if kind == "" and rl < 32
+        )
+        for (low1, rl1), (low2, _) in zip(normal, normal[1:]):
+            assert low1 + (1 << rl1) == low2, f"B.{num} range gap at {low2}"
+        lowers = [low for _, _, low, kind in lines if kind == "lower"]
+        uppers = [low for _, rl, low, kind in lines if kind == "" and rl == 32]
+        if normal:
+            if lowers:
+                assert lowers[0] == normal[0][0] - 1, f"B.{num} lower bound"
+            if uppers:
+                end = normal[-1][0] + (1 << normal[-1][1])
+                assert uppers[0] == end, f"B.{num} upper bound"

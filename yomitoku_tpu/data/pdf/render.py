@@ -13,8 +13,9 @@ Type1C/TrueType), image XObjects (DCT/JPX/Flate/CCITT G3+G4 fax/JBIG2
 incl. JBIG2Globals, gray/rgb/cmyk/indexed, image masks, SMask alpha),
 form XObjects.  Shadings, shading patterns, and tiling patterns paint
 their average colour (flat approximation — keeps gradient/hatched
-backgrounds from rendering as holes); the rare JBIG2 sub-modes (Huffman
-symbol coding, halftones) are skipped with a warning.
+backgrounds from rendering as holes); JBIG2 covers arithmetic and
+Huffman symbol coding — only halftone regions are skipped with a
+warning.
 """
 
 import struct
@@ -1447,8 +1448,8 @@ class PageRenderer:
 
         if "JBIG2Decode" in filters:
             # From-scratch decoder in native/jbig2.cpp (the reference decodes
-            # these via pdfium).  Unsupported sub-features (Huffman symbol
-            # coding, halftones) fail loudly and leave the region blank.
+            # these via pdfium).  The lone unsupported sub-feature (halftone
+            # regions) fails loudly and leaves the region blank.
             from ...native import jbig2_decode
 
             parms = self._filter_parms(d, "JBIG2Decode")

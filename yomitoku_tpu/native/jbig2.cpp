@@ -12,13 +12,18 @@
 //   * symbol dictionaries + text regions (arithmetic coding, the jbig2enc
 //     output class that dominates PDF JBIG2 in the wild), including
 //     refinement/aggregation with generic refinement templates 0-1
+//   * Huffman-coded symbol dictionaries + text regions (T.88 Annex B
+//     standard tables B.1-B.15, type-53 custom tables, runcode symbol-ID
+//     codes, uncompressed and MMR collective bitmaps) — the old
+//     hardware-scanner output class
 //   * page info / end-of-stripe assembly with all composition operators
 //   * PDF /JBIG2Globals streams (shared symbol dictionaries)
 //
 // Fails loudly (negative return + jbig2_last_error) rather than guessing on
-// the rare paths: Huffman-coded symbol/text regions, halftone regions, and
-// unknown-length segments.  The Python caller leaves the region blank and
-// warns, matching the pre-existing behavior for undecodable streams.
+// the rare paths: halftone regions, Huffman-mode refinement/aggregation
+// (no known encoder emits these), and unknown-length segments.  The Python
+// caller leaves the region blank and warns, matching the pre-existing
+// behavior for undecodable streams.
 //
 // Output is one byte per pixel, 1 = black, like ccitt_decode.
 
@@ -197,6 +202,191 @@ static int decode_iaid(MQDecoder &mq, std::vector<uint8_t> &cx, int codelen) {
   int prev = 1;
   for (int i = 0; i < codelen; i++) prev = (prev << 1) | mq.decode(&cx[prev]);
   return prev - (1 << codelen);
+}
+
+// ---------------------------------------------------------------------------
+// Huffman coding (T.88 Annex B).  Huffman-mode segment payloads are MSB-first
+// bitstreams; collective bitmaps and MMR blocks inside them are byte-aligned.
+
+struct BitReader {
+  const uint8_t *d;
+  long n, pos = 0;  // byte position
+  int bit = 0;      // next bit within d[pos], 0 = MSB
+  BitReader(const uint8_t *d, long n) : d(d), n(n) {}
+
+  int read1() {
+    if (pos >= n) fail("Huffman bitstream overrun");
+    int b = (d[pos] >> (7 - bit)) & 1;
+    if (++bit == 8) {
+      bit = 0;
+      pos++;
+    }
+    return b;
+  }
+
+  uint32_t read(int k) {
+    uint32_t v = 0;
+    for (int i = 0; i < k; i++) v = (v << 1) | (uint32_t)read1();
+    return v;
+  }
+
+  void align() {
+    if (bit) {
+      bit = 0;
+      pos++;
+    }
+  }
+
+  const uint8_t *take_aligned(long k) {
+    align();
+    if (pos + k > n) fail("Huffman bitstream overrun");
+    const uint8_t *r = d + pos;
+    pos += k;
+    return r;
+  }
+};
+
+// One table line.  kind: 0 = normal value range, 1 = lower range (value =
+// rangelow - 32-bit offset), 2 = OOB.  A normal line with rangelen 32 is the
+// upper range (value = rangelow + 32-bit offset).
+struct HuffLine {
+  uint8_t preflen, rangelen, kind;
+  int32_t rangelow;
+};
+
+struct HuffTable {
+  std::vector<HuffLine> lines;
+  std::vector<std::pair<int, uint32_t>> codes;  // per line: (len, code)
+
+  // Canonical prefix-code assignment (T.88 B.3): lengths ascending, listed
+  // order within a length.  preflen 0 lines get no code.
+  void assign() {
+    int maxlen = 0;
+    for (auto &ln : lines) maxlen = std::max(maxlen, (int)ln.preflen);
+    if (maxlen > 32) fail("Huffman prefix length %d out of range", maxlen);
+    codes.assign(lines.size(), {0, 0});
+    uint64_t cur = 0;
+    for (int len = 1; len <= maxlen; len++) {
+      for (size_t i = 0; i < lines.size(); i++) {
+        if (lines[i].preflen == len) {
+          if (cur >> len) fail("overfull Huffman table");
+          codes[i] = {len, (uint32_t)cur++};
+        }
+      }
+      cur <<= 1;
+    }
+  }
+
+  // Returns false on OOB.
+  bool decode(BitReader &br, int32_t *out) const {
+    int len = 0;
+    uint32_t code = 0;
+    while (len < 32) {
+      code = (code << 1) | (uint32_t)br.read1();
+      len++;
+      for (size_t i = 0; i < lines.size(); i++) {
+        if (codes[i].first != len || codes[i].second != code) continue;
+        const HuffLine &ln = lines[i];
+        if (ln.kind == 2) return false;
+        if (ln.kind == 1) {
+          *out = (int32_t)((int64_t)ln.rangelow - (int64_t)br.read(32));
+        } else if (ln.rangelen == 32) {
+          *out = (int32_t)((int64_t)ln.rangelow + (int64_t)br.read(32));
+        } else {
+          *out = (int32_t)(ln.rangelow + (int32_t)br.read(ln.rangelen));
+        }
+        return true;
+      }
+    }
+    fail("invalid Huffman code");
+    return false;  // unreachable
+  }
+};
+
+// Standard tables B.1-B.15, lines in the Annex's listed order (the order is
+// part of the canonical code assignment).  Mirrored by the independent
+// encoder in tests/jbig2_ref.py:STD_TABLES.
+static HuffTable make_std_table(int which) {
+  // {preflen, rangelen, kind, rangelow}
+  static const HuffLine T1[] = {{1, 4, 0, 0}, {2, 8, 0, 16}, {3, 16, 0, 272},
+                                {3, 32, 0, 65808}};
+  static const HuffLine T2[] = {{1, 0, 0, 0},  {2, 0, 0, 1}, {3, 0, 0, 2},
+                                {4, 3, 0, 3},  {5, 6, 0, 11}, {6, 32, 0, 75},
+                                {6, 0, 2, 0}};
+  static const HuffLine T3[] = {{8, 8, 0, -256}, {1, 0, 0, 0},  {2, 0, 0, 1},
+                                {3, 0, 0, 2},    {4, 3, 0, 3},  {5, 6, 0, 11},
+                                {8, 32, 1, -257}, {7, 32, 0, 75}, {6, 0, 2, 0}};
+  static const HuffLine T4[] = {{1, 0, 0, 1}, {2, 0, 0, 2},  {3, 0, 0, 3},
+                                {4, 3, 0, 4}, {5, 6, 0, 12}, {5, 32, 0, 76}};
+  static const HuffLine T5[] = {{7, 8, 0, -255}, {1, 0, 0, 1}, {2, 0, 0, 2},
+                                {3, 0, 0, 3},    {4, 3, 0, 4}, {5, 6, 0, 12},
+                                {7, 32, 1, -256}, {6, 32, 0, 76}};
+  static const HuffLine T6[] = {
+      {5, 10, 0, -2048}, {4, 9, 0, -1024}, {4, 8, 0, -512}, {4, 7, 0, -256},
+      {5, 6, 0, -128},   {5, 5, 0, -64},   {4, 5, 0, -32},  {2, 7, 0, 0},
+      {3, 7, 0, 128},    {3, 8, 0, 256},   {4, 9, 0, 512},  {4, 10, 0, 1024},
+      {6, 32, 1, -2049}, {6, 32, 0, 2048}};
+  static const HuffLine T7[] = {
+      {4, 9, 0, -1024}, {3, 8, 0, -512}, {4, 7, 0, -256}, {5, 6, 0, -128},
+      {5, 5, 0, -64},   {4, 5, 0, -32},  {2, 9, 0, 0},    {3, 10, 0, 512},
+      {3, 32, 1, -1025}, {3, 32, 0, 1536}};
+  static const HuffLine T8[] = {
+      {8, 3, 0, -15},  {9, 1, 0, -7},   {8, 1, 0, -5},   {9, 0, 0, -3},
+      {7, 0, 0, -2},   {4, 0, 0, -1},   {2, 1, 0, 0},    {5, 0, 0, 2},
+      {6, 0, 0, 3},    {3, 4, 0, 4},    {6, 1, 0, 20},   {4, 4, 0, 22},
+      {4, 5, 0, 38},   {5, 6, 0, 70},   {5, 7, 0, 134},  {6, 7, 0, 262},
+      {7, 8, 0, 390},  {6, 10, 0, 646}, {9, 32, 1, -16}, {9, 32, 0, 1670},
+      {2, 0, 2, 0}};
+  static const HuffLine T9[] = {
+      {8, 4, 0, -31},  {9, 2, 0, -15},  {8, 2, 0, -11},  {9, 1, 0, -7},
+      {7, 1, 0, -5},   {4, 1, 0, -3},   {3, 1, 0, -1},   {3, 1, 0, 1},
+      {5, 1, 0, 3},    {6, 1, 0, 5},    {3, 5, 0, 7},    {6, 2, 0, 39},
+      {4, 5, 0, 43},   {4, 6, 0, 75},   {5, 7, 0, 139},  {5, 8, 0, 267},
+      {6, 8, 0, 523},  {7, 9, 0, 779},  {6, 11, 0, 1291}, {9, 32, 1, -32},
+      {9, 32, 0, 3339}, {2, 0, 2, 0}};
+  static const HuffLine T10[] = {
+      {7, 4, 0, -21},  {8, 0, 0, -5},   {7, 0, 0, -4},   {5, 0, 0, -3},
+      {2, 2, 0, -2},   {5, 0, 0, 2},    {6, 0, 0, 3},    {7, 0, 0, 4},
+      {8, 0, 0, 5},    {2, 6, 0, 6},    {5, 5, 0, 70},   {6, 5, 0, 102},
+      {7, 6, 0, 134},  {8, 7, 0, 198},  {8, 8, 0, 326},  {8, 9, 0, 582},
+      {8, 10, 0, 1094}, {7, 11, 0, 2118}, {8, 32, 1, -22}, {8, 32, 0, 4166},
+      {2, 0, 2, 0}};
+  static const HuffLine T11[] = {
+      {1, 0, 0, 1},  {2, 1, 0, 2},  {4, 0, 0, 4},  {4, 1, 0, 5},
+      {5, 1, 0, 7},  {5, 2, 0, 9},  {6, 2, 0, 13}, {7, 2, 0, 17},
+      {7, 3, 0, 21}, {7, 4, 0, 29}, {7, 5, 0, 45}, {7, 6, 0, 77},
+      {7, 32, 0, 141}};
+  static const HuffLine T12[] = {
+      {1, 0, 0, 1},  {2, 0, 0, 2},  {3, 1, 0, 3},  {5, 0, 0, 5},
+      {5, 1, 0, 6},  {6, 1, 0, 8},  {7, 0, 0, 10}, {7, 1, 0, 11},
+      {7, 2, 0, 13}, {7, 3, 0, 17}, {7, 4, 0, 25}, {8, 5, 0, 41},
+      {8, 32, 0, 73}};
+  static const HuffLine T13[] = {
+      {1, 0, 0, 1},  {3, 0, 0, 2},  {4, 0, 0, 3},  {5, 0, 0, 4},
+      {4, 1, 0, 5},  {3, 3, 0, 7},  {6, 1, 0, 15}, {6, 2, 0, 17},
+      {6, 3, 0, 21}, {6, 4, 0, 29}, {6, 5, 0, 45}, {7, 6, 0, 77},
+      {7, 32, 0, 141}};
+  static const HuffLine T14[] = {{3, 0, 0, -2}, {3, 0, 0, -1}, {1, 0, 0, 0},
+                                 {3, 0, 0, 1},  {3, 0, 0, 2}};
+  static const HuffLine T15[] = {
+      {7, 4, 0, -24}, {6, 2, 0, -8}, {5, 1, 0, -4}, {4, 0, 0, -2},
+      {3, 0, 0, -1},  {1, 0, 0, 0},  {3, 0, 0, 1},  {4, 0, 0, 2},
+      {5, 1, 0, 3},   {6, 2, 0, 5},  {7, 4, 0, 9},  {7, 32, 1, -25},
+      {7, 32, 0, 25}};
+  struct Spec {
+    const HuffLine *lines;
+    size_t count;
+  };
+  static const Spec SPECS[15] = {
+      {T1, 4},   {T2, 7},   {T3, 9},   {T4, 6},   {T5, 8},
+      {T6, 14},  {T7, 10},  {T8, 21},  {T9, 22},  {T10, 21},
+      {T11, 13}, {T12, 13}, {T13, 13}, {T14, 5},  {T15, 13}};
+  if (which < 1 || which > 15) fail("no standard Huffman table B.%d", which);
+  const Spec &s = SPECS[which - 1];
+  HuffTable t;
+  t.lines.assign(s.lines, s.lines + s.count);
+  t.assign();
+  return t;
 }
 
 // ---------------------------------------------------------------------------
@@ -482,11 +672,54 @@ struct Decoder {
   int page_def_op = OP_OR;
   // symbol dictionaries by segment number
   std::vector<std::pair<uint32_t, std::vector<J2Bitmap>>> sym_dicts;
+  // custom Huffman tables (type-53 segments) by segment number
+  std::vector<std::pair<uint32_t, HuffTable>> huff_tables;
 
   std::vector<J2Bitmap> *find_dict(uint32_t seg) {
     for (auto &kv : sym_dicts)
       if (kv.first == seg) return &kv.second;
     return nullptr;
+  }
+
+  // Custom tables referred to by a region/dict segment, in referral order —
+  // selector value "custom" consumes them in order of use (T.88 7.4.3.1.6).
+  std::vector<const HuffTable *> gather_tables(const SegmentHeader &h) {
+    std::vector<const HuffTable *> out;
+    for (uint32_t ref : h.referred)
+      for (auto &kv : huff_tables)
+        if (kv.first == ref) out.push_back(&kv.second);
+    return out;
+  }
+
+  // ---- table segment (type 53, T.88 B.2.4) ----
+  void handle_table_segment(Reader &r, const SegmentHeader &h, long seg_end) {
+    uint8_t tflags = r.u8();
+    bool oob = tflags & 1;
+    int htps = ((tflags >> 1) & 7) + 1;
+    int htrs = ((tflags >> 4) & 7) + 1;
+    int32_t low = (int32_t)r.u32();
+    int32_t high = (int32_t)r.u32();
+    // bound the span AND the endpoints: `low - 1` (the lower line) and the
+    // per-line `cur + 2^rangelen` walk must not overflow on hostile input
+    if (low < -(1 << 30) || high > (1 << 30) || (int64_t)high - low > (int64_t)1 << 31)
+      fail("custom table range out of bounds");
+    BitReader br(r.d + r.p, seg_end - r.p);
+    HuffTable t;
+    int64_t cur = low;
+    while (cur < high) {
+      uint8_t preflen = (uint8_t)br.read(htps);
+      uint8_t rangelen = (uint8_t)br.read(htrs);
+      if (rangelen > 32) fail("custom table range length %d", rangelen);
+      t.lines.push_back({preflen, rangelen, 0, (int32_t)cur});
+      cur += (int64_t)1 << rangelen;
+      if (t.lines.size() > 4096) fail("custom table too large");
+    }
+    t.lines.push_back({(uint8_t)br.read(htps), 32, 1, low - 1});  // lower
+    t.lines.push_back({(uint8_t)br.read(htps), 32, 0, high});     // upper
+    if (oob) t.lines.push_back({(uint8_t)br.read(htps), 0, 2, 0});
+    t.assign();
+    r.p = seg_end;
+    huff_tables.emplace_back(h.number, std::move(t));
   }
 
   void gather_input_symbols(const SegmentHeader &h,
@@ -567,6 +800,137 @@ struct Decoder {
     compose(page, bm, (int)ri.x, (int)ri.y, ri.combop);
   }
 
+  // Export-flag decoding (T.88 6.5.10): runs over (input ++ new) symbols
+  // with an alternating flag.  Shared by the arithmetic and Huffman paths —
+  // only the run-length read differs.
+  template <typename ReadRun>
+  std::vector<J2Bitmap> decode_exports(const std::vector<const J2Bitmap *> &input,
+                                       std::vector<J2Bitmap> &newsyms,
+                                       uint32_t numex, ReadRun read_run) {
+    std::vector<J2Bitmap> exported;
+    uint32_t numin = (uint32_t)input.size();
+    uint32_t i = 0, total = numin + (uint32_t)newsyms.size();
+    int curex = 0;
+    while (i < total && exported.size() < numex) {
+      int32_t run;
+      if (!read_run(&run)) fail("OOB in EXFLAGS run");
+      if (run < 0 || i + (uint32_t)run > total) fail("bad export run");
+      if (curex) {
+        for (int32_t k = 0; k < run; k++, i++) {
+          if (i < numin) exported.push_back(*input[i]);
+          else exported.push_back(newsyms[i - numin]);
+        }
+      } else {
+        i += run;
+      }
+      curex ^= 1;
+    }
+    if (exported.size() != numex)
+      fail("exported %zu symbols, expected %u", exported.size(), numex);
+    return exported;
+  }
+
+  // ---- SDHUFF=1 symbol dictionary (T.88 6.5 Huffman paths) ----
+  void handle_symbol_dict_huffman(Reader &r, const SegmentHeader &h,
+                                  long seg_end, uint16_t flags) {
+    bool sdrefagg = (flags >> 1) & 1;
+    if (sdrefagg)
+      fail("Huffman symbol dictionary with refinement/aggregation "
+           "not supported");
+    int sel_dh = (flags >> 2) & 3;
+    int sel_dw = (flags >> 4) & 3;
+    int sel_bm = (flags >> 6) & 1;
+    // (SDHUFFAGGINST, bit 7, only applies with SDREFAGG — rejected above.)
+    uint32_t numex = r.u32();
+    uint32_t numnew = r.u32();
+    if (numnew > 100000 || numex > 200000)
+      fail("implausible symbol counts %u/%u", numnew, numex);
+
+    std::vector<const J2Bitmap *> input;
+    gather_input_symbols(h, input);
+    std::vector<const HuffTable *> customs = gather_tables(h);
+    size_t next_custom = 0;
+    auto custom = [&]() -> const HuffTable * {
+      if (next_custom >= customs.size())
+        fail("symbol dictionary missing a referred custom table");
+      return customs[next_custom++];
+    };
+    HuffTable std_dh, std_dw, std_bm, std_ex;
+    const HuffTable *tdh, *tdw, *tbm;
+    if (sel_dh == 3) tdh = custom();
+    else if (sel_dh == 2) fail("invalid SDHUFFDH selector");
+    else tdh = &(std_dh = make_std_table(sel_dh == 0 ? 4 : 5));
+    if (sel_dw == 3) tdw = custom();
+    else if (sel_dw == 2) fail("invalid SDHUFFDW selector");
+    else tdw = &(std_dw = make_std_table(sel_dw == 0 ? 2 : 3));
+    tbm = sel_bm ? custom() : &(std_bm = make_std_table(1));
+    std_ex = make_std_table(1);  // EXFLAGS runs always use B.1
+
+    BitReader br(r.d + r.p, seg_end - r.p);
+    std::vector<J2Bitmap> newsyms;
+    newsyms.reserve(numnew);
+    int32_t hcheight = 0;
+    while (newsyms.size() < numnew) {
+      int32_t hcdh;
+      if (!tdh->decode(br, &hcdh)) fail("OOB in DH");
+      hcheight += hcdh;
+      if (hcheight < 0 || hcheight > (1 << 20)) fail("bad height class");
+      // Widths for the whole height class first (6.5.5), then one
+      // byte-aligned collective bitmap covering all of them (6.5.9).
+      std::vector<int32_t> widths;
+      int32_t symwidth = 0;
+      int64_t totwidth = 0;
+      for (;;) {
+        int32_t dw;
+        if (!tdw->decode(br, &dw)) break;  // OOB ends the height class
+        symwidth += dw;
+        if (symwidth <= 0 || symwidth > (1 << 20)) fail("bad symbol width");
+        if (newsyms.size() + widths.size() >= numnew)
+          fail("too many symbols in dictionary");
+        widths.push_back(symwidth);
+        totwidth += symwidth;
+      }
+      if (totwidth > (1 << 24)) fail("height class too wide");
+      int32_t bmsize;
+      if (!tbm->decode(br, &bmsize)) fail("OOB in BMSIZE");
+      if (bmsize < 0) fail("negative collective bitmap size");
+      J2Bitmap coll((int)totwidth, hcheight);
+      if (bmsize == 0) {
+        // Uncompressed: rows padded to byte boundaries, MSB-first pixels.
+        long rowbytes = (totwidth + 7) / 8;
+        const uint8_t *data = br.take_aligned(rowbytes * hcheight);
+        for (int y = 0; y < hcheight; y++)
+          for (int64_t x = 0; x < totwidth; x++)
+            coll.px[(size_t)y * coll.w + x] =
+                (data[y * rowbytes + (x >> 3)] >> (7 - (x & 7))) & 1;
+      } else {
+        // MMR (T.6) coded, bmsize whole bytes.
+        const uint8_t *data = br.take_aligned(bmsize);
+        std::vector<uint8_t> out((size_t)totwidth * hcheight, 0);
+        int rows = ccitt_decode(data, bmsize, (int)totwidth, /*k=*/-1,
+                                /*byte_align=*/0, out.data(), hcheight);
+        if (rows < hcheight)
+          fail("MMR collective bitmap decoded %d of %d rows", rows, hcheight);
+        memcpy(coll.px.data(), out.data(), out.size());
+      }
+      int32_t x0 = 0;
+      for (int32_t wsym : widths) {
+        J2Bitmap bm(wsym, hcheight);
+        for (int y = 0; y < hcheight; y++)
+          memcpy(&bm.px[(size_t)y * wsym], &coll.px[(size_t)y * coll.w + x0],
+                 wsym);
+        newsyms.push_back(std::move(bm));
+        x0 += wsym;
+      }
+    }
+
+    std::vector<J2Bitmap> exported = decode_exports(
+        input, newsyms, numex,
+        [&](int32_t *run) { return std_ex.decode(br, run); });
+    r.p = seg_end;
+    sym_dicts.emplace_back(h.number, std::move(exported));
+  }
+
   // ---- symbol dictionary segment (type 0) ----
   void handle_symbol_dict(Reader &r, const SegmentHeader &h, long seg_end) {
     uint16_t flags = r.u16();
@@ -575,8 +939,11 @@ struct Decoder {
     int sdtemplate = (flags >> 10) & 3;
     int sdrtemplate = (flags >> 12) & 1;
     bool ctx_used = (flags >> 8) & 1;
-    if (sdhuff) fail("Huffman-coded symbol dictionary not supported");
     if (ctx_used) fail("symbol dictionary context import not supported");
+    if (sdhuff) {
+      handle_symbol_dict_huffman(r, h, seg_end, flags);
+      return;
+    }
     int8_t at[8] = {0};
     int nat = sdtemplate == 0 ? 4 : 1;
     for (int i = 0; i < nat; i++) {
@@ -645,28 +1012,54 @@ struct Decoder {
       }
     }
 
-    // Export flags: runs of (input ++ new) symbols, alternating flag.
-    std::vector<J2Bitmap> exported;
-    uint32_t i = 0, total = numin + numnew;
-    int curex = 0;
-    while (i < total && exported.size() < numex) {
-      int32_t run;
-      if (!decode_int(mq, iaex, &run)) fail("OOB in IAEX");
-      if (run < 0 || i + (uint32_t)run > total) fail("bad export run");
-      if (curex) {
-        for (int32_t k = 0; k < run; k++, i++) {
-          if (i < numin) exported.push_back(*input[i]);
-          else exported.push_back(newsyms[i - numin]);
-        }
-      } else {
-        i += run;
-      }
-      curex ^= 1;
-    }
-    if (exported.size() != numex)
-      fail("exported %zu symbols, expected %u", exported.size(), numex);
+    std::vector<J2Bitmap> exported = decode_exports(
+        input, newsyms, numex,
+        [&](int32_t *run) { return decode_int(mq, iaex, run); });
     r.p = seg_end;
     sym_dicts.emplace_back(h.number, std::move(exported));
+  }
+
+  // Symbol-ID code table for SBHUFF=1 text regions (T.88 7.4.3.1.7): 35
+  // 4-bit runcode lengths, then per-symbol code lengths carried by the
+  // runcode mechanism, then canonical assignment over symbol indices.
+  HuffTable decode_symbol_id_table(BitReader &br, uint32_t numsyms) {
+    HuffTable rct;
+    for (int i = 0; i < 35; i++)
+      rct.lines.push_back({(uint8_t)br.read(4), 0, 0, i});
+    rct.assign();
+    std::vector<uint8_t> codelens(numsyms, 0);
+    uint32_t i = 0;
+    int prev = 0;
+    while (i < numsyms) {
+      int32_t rc;
+      if (!rct.decode(br, &rc)) fail("OOB in symbol ID runcodes");
+      if (rc < 32) {
+        codelens[i++] = (uint8_t)rc;
+        prev = rc;
+      } else {
+        uint32_t rep;
+        int fill;
+        if (rc == 32) {
+          if (i == 0) fail("runcode 32 with no previous length");
+          rep = br.read(2) + 3;
+          fill = prev;
+        } else if (rc == 33) {
+          rep = br.read(3) + 3;
+          fill = 0;
+        } else {
+          rep = br.read(7) + 11;
+          fill = 0;
+        }
+        if (i + rep > numsyms) fail("symbol ID runcode overruns table");
+        while (rep--) codelens[i++] = (uint8_t)fill;
+      }
+    }
+    br.align();
+    HuffTable symt;
+    for (uint32_t s = 0; s < numsyms; s++)
+      symt.lines.push_back({codelens[s], 0, 0, (int32_t)s});
+    symt.assign();
+    return symt;
   }
 
   // ---- text region segment (types 4/6/7) ----
@@ -684,7 +1077,11 @@ struct Decoder {
     int sbdsoffset = (flags >> 10) & 0x1F;
     if (sbdsoffset > 15) sbdsoffset -= 32;  // signed 5-bit
     int sbrtemplate = (flags >> 15) & 1;
-    if (sbhuff) fail("Huffman-coded text region not supported");
+    uint16_t hflags = 0;
+    if (sbhuff) {
+      if (sbrefine) fail("Huffman text region refinement not supported");
+      hflags = r.u16();
+    }
     int8_t rat[4] = {0};
     if (sbrefine && sbrtemplate == 0) {
       for (int i = 0; i < 4; i++) rat[i] = r.s8();
@@ -703,88 +1100,154 @@ struct Decoder {
     gather_input_symbols(h, syms);
     uint32_t numsyms = (uint32_t)syms.size();
     if (numsyms == 0) fail("text region refers to no symbols");
-    int codelen = 0;
-    while ((1u << codelen) < numsyms) codelen++;
-    if (codelen == 0) codelen = 1;
-
-    MQDecoder mq;
-    mq.init(r.d + r.p, seg_end - r.p);
-    IntCtx iadt, iafs, iads, iait, iari, iardw, iardh, iardx, iardy;
-    RefineCtx gr;
-    std::vector<uint8_t> iaid_cx((size_t)1 << (codelen + 1), 0);
 
     J2Bitmap region((int)ri.w, (int)ri.h, (uint8_t)sbdefpixel);
 
-    int32_t stript;
-    if (!decode_int(mq, iadt, &stript)) fail("OOB in IADT");
-    stript *= -sbstrips;
-    int32_t firsts = 0;
-    uint32_t ninst = 0;
-    while (ninst < numinstances) {
-      int32_t dt;
-      if (!decode_int(mq, iadt, &dt)) fail("OOB in IADT");
-      stript += dt * sbstrips;
-      int32_t curs = 0;
-      bool first = true;
-      for (;;) {
-        if (first) {
-          int32_t dfs;
-          if (!decode_int(mq, iafs, &dfs)) fail("OOB in IAFS");
-          firsts += dfs;
-          curs = firsts;
-          first = false;
-        } else {
-          int32_t ids;
-          if (!decode_int(mq, iads, &ids)) break;  // OOB: end of strip
-          curs += ids + sbdsoffset;
-        }
-        if (ninst >= numinstances) break;
-        int32_t curt = 0;
-        if (sbstrips > 1) {
-          if (!decode_int(mq, iait, &curt)) fail("OOB in IAIT");
-        }
-        int32_t ti = stript + curt;
-        int id = decode_iaid(mq, iaid_cx, codelen);
-        if ((uint32_t)id >= numsyms) fail("symbol id %d out of range", id);
-        const J2Bitmap *wi = syms[id];
-        J2Bitmap refined;
-        if (sbrefine) {
-          int32_t ri_flag;
-          if (!decode_int(mq, iari, &ri_flag)) fail("OOB in IARI");
-          if (ri_flag) {
-            int32_t rdw, rdh, rdx, rdy;
-            if (!decode_int(mq, iardw, &rdw)) fail("OOB in IARDW");
-            if (!decode_int(mq, iardh, &rdh)) fail("OOB in IARDH");
-            if (!decode_int(mq, iardx, &rdx)) fail("OOB in IARDX");
-            if (!decode_int(mq, iardy, &rdy)) fail("OOB in IARDY");
-            int nw = wi->w + rdw, nh = wi->h + rdh;
-            if (nw <= 0 || nh <= 0 || nw > (1 << 20) || nh > (1 << 20))
-              fail("bad refined symbol size");
-            refined = J2Bitmap(nw, nh);
-            // floor division for negative deltas (T.88 6.4.11)
-            auto floor2 = [](int32_t v) {
-              return v >= 0 ? v / 2 : -((-v + 1) / 2);
-            };
-            decode_refinement(mq, gr, refined, *wi, floor2(rdw) + rdx,
-                              floor2(rdh) + rdy, sbrtemplate, rat);
-            wi = &refined;
+    // Instance placement (T.88 6.4.5 step 3(c)(x)) — shared by both coding
+    // modes.  S runs along x unless TRANSPOSED; left/right corner placement
+    // differs only in when CURS advances, both resolve to edge = CURS.
+    auto place = [&](const J2Bitmap &wi, int32_t &curs, int32_t ti) {
+      int ws = wi.w - 1, hs = wi.h - 1;
+      if (!transposed) {
+        int x0 = curs;
+        int y0 = (refcorner == 1 || refcorner == 3) ? ti : ti - hs;
+        compose(region, wi, x0, y0, sbcombop);
+        curs += ws;
+      } else {
+        int y0 = curs;
+        int x0 = (refcorner == 0 || refcorner == 1) ? ti : ti - ws;
+        compose(region, wi, x0, y0, sbcombop);
+        curs += hs;
+      }
+    };
+
+    if (sbhuff) {
+      int sel_fs = hflags & 3;
+      int sel_ds = (hflags >> 2) & 3;
+      int sel_dt = (hflags >> 4) & 3;
+      std::vector<const HuffTable *> customs = gather_tables(h);
+      size_t next_custom = 0;
+      auto custom = [&]() -> const HuffTable * {
+        if (next_custom >= customs.size())
+          fail("text region missing a referred custom table");
+        return customs[next_custom++];
+      };
+      HuffTable std_fs, std_ds, std_dt;
+      const HuffTable *tfs, *tds, *tdt;
+      if (sel_fs == 3) tfs = custom();
+      else if (sel_fs == 2) fail("invalid SBHUFFFS selector");
+      else tfs = &(std_fs = make_std_table(sel_fs == 0 ? 6 : 7));
+      if (sel_ds == 3) tds = custom();
+      else tds = &(std_ds = make_std_table(8 + sel_ds));
+      if (sel_dt == 3) tdt = custom();
+      else tdt = &(std_dt = make_std_table(11 + sel_dt));
+
+      BitReader br(r.d + r.p, seg_end - r.p);
+      HuffTable symt = decode_symbol_id_table(br, numsyms);
+
+      int32_t stript;
+      if (!tdt->decode(br, &stript)) fail("OOB in DT");
+      stript *= -sbstrips;
+      int32_t firsts = 0;
+      uint32_t ninst = 0;
+      while (ninst < numinstances) {
+        int32_t dt;
+        if (!tdt->decode(br, &dt)) fail("OOB in DT");
+        stript += dt * sbstrips;
+        int32_t curs = 0;
+        bool first = true;
+        for (;;) {
+          if (first) {
+            int32_t dfs;
+            if (!tfs->decode(br, &dfs)) fail("OOB in FS");
+            firsts += dfs;
+            curs = firsts;
+            first = false;
+          } else {
+            int32_t ids;
+            if (!tds->decode(br, &ids)) break;  // OOB: end of strip
+            curs += ids + sbdsoffset;
           }
+          if (ninst >= numinstances) break;
+          // CURT is a raw log2(SBSTRIPS)-bit field in Huffman mode.
+          int32_t curt = sbstrips > 1 ? (int32_t)br.read(log2strips) : 0;
+          int32_t ti = stript + curt;
+          int32_t id;
+          if (!symt.decode(br, &id)) fail("OOB in symbol ID");
+          if ((uint32_t)id >= numsyms) fail("symbol id %d out of range", id);
+          place(*syms[id], curs, ti);
+          ninst++;
         }
-        int ws = wi->w - 1, hs = wi->h - 1;
-        if (!transposed) {
-          // S runs along x.  Left/right corner placement differs only when
-          // CURS advances before drawing; both resolve to left edge = CURS.
-          int x0 = curs;
-          int y0 = (refcorner == 1 || refcorner == 3) ? ti : ti - hs;
-          compose(region, *wi, x0, y0, sbcombop);
-          curs += ws;
-        } else {
-          int y0 = curs;
-          int x0 = (refcorner == 0 || refcorner == 1) ? ti : ti - ws;
-          compose(region, *wi, x0, y0, sbcombop);
-          curs += hs;
+      }
+    } else {
+      int codelen = 0;
+      while ((1u << codelen) < numsyms) codelen++;
+      if (codelen == 0) codelen = 1;
+
+      MQDecoder mq;
+      mq.init(r.d + r.p, seg_end - r.p);
+      IntCtx iadt, iafs, iads, iait, iari, iardw, iardh, iardx, iardy;
+      RefineCtx gr;
+      std::vector<uint8_t> iaid_cx((size_t)1 << (codelen + 1), 0);
+
+      int32_t stript;
+      if (!decode_int(mq, iadt, &stript)) fail("OOB in IADT");
+      stript *= -sbstrips;
+      int32_t firsts = 0;
+      uint32_t ninst = 0;
+      while (ninst < numinstances) {
+        int32_t dt;
+        if (!decode_int(mq, iadt, &dt)) fail("OOB in IADT");
+        stript += dt * sbstrips;
+        int32_t curs = 0;
+        bool first = true;
+        for (;;) {
+          if (first) {
+            int32_t dfs;
+            if (!decode_int(mq, iafs, &dfs)) fail("OOB in IAFS");
+            firsts += dfs;
+            curs = firsts;
+            first = false;
+          } else {
+            int32_t ids;
+            if (!decode_int(mq, iads, &ids)) break;  // OOB: end of strip
+            curs += ids + sbdsoffset;
+          }
+          if (ninst >= numinstances) break;
+          int32_t curt = 0;
+          if (sbstrips > 1) {
+            if (!decode_int(mq, iait, &curt)) fail("OOB in IAIT");
+          }
+          int32_t ti = stript + curt;
+          int id = decode_iaid(mq, iaid_cx, codelen);
+          if ((uint32_t)id >= numsyms) fail("symbol id %d out of range", id);
+          const J2Bitmap *wi = syms[id];
+          J2Bitmap refined;
+          if (sbrefine) {
+            int32_t ri_flag;
+            if (!decode_int(mq, iari, &ri_flag)) fail("OOB in IARI");
+            if (ri_flag) {
+              int32_t rdw, rdh, rdx, rdy;
+              if (!decode_int(mq, iardw, &rdw)) fail("OOB in IARDW");
+              if (!decode_int(mq, iardh, &rdh)) fail("OOB in IARDH");
+              if (!decode_int(mq, iardx, &rdx)) fail("OOB in IARDX");
+              if (!decode_int(mq, iardy, &rdy)) fail("OOB in IARDY");
+              int nw = wi->w + rdw, nh = wi->h + rdh;
+              if (nw <= 0 || nh <= 0 || nw > (1 << 20) || nh > (1 << 20))
+                fail("bad refined symbol size");
+              refined = J2Bitmap(nw, nh);
+              // floor division for negative deltas (T.88 6.4.11)
+              auto floor2 = [](int32_t v) {
+                return v >= 0 ? v / 2 : -((-v + 1) / 2);
+              };
+              decode_refinement(mq, gr, refined, *wi, floor2(rdw) + rdx,
+                                floor2(rdh) + rdy, sbrtemplate, rat);
+              wi = &refined;
+            }
+          }
+          place(*wi, curs, ti);
+          ninst++;
         }
-        ninst++;
       }
     }
     r.p = seg_end;
@@ -845,7 +1308,7 @@ struct Decoder {
         case 62:  // extension
           break;
         case 53:
-          fail("custom Huffman tables not supported");
+          handle_table_segment(r, h, seg_end);
           break;
         default:
           fail("unknown segment type %d", h.type);
