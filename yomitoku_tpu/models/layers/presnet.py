@@ -17,7 +17,9 @@ _ACTS = {
     None: lambda x: x,
     "relu": nn.relu,
     "silu": nn.silu,
-    "gelu": nn.gelu,
+    # exact erf form — torch nn.GELU()'s default; flax's default tanh
+    # approximation costs ~1e-3 of activation parity for no TPU win
+    "gelu": lambda x: nn.gelu(x, approximate=False),
 }
 
 

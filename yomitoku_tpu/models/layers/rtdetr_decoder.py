@@ -185,7 +185,9 @@ class RTDETRDecoderLayer(nn.Module):
     def __call__(self, target, reference_points, memory, spatial_shapes,
                  query_pos_embed):
         dt = self.dtype
-        ln = lambda name: nn.LayerNorm(dtype=dt, param_dtype=jnp.float32, name=name)
+        # torch nn.LayerNorm epsilon (1e-5), not flax's 1e-6 default
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=dt,
+                                       param_dtype=jnp.float32, name=name)
         q = k = target + query_pos_embed
         h = MultiHeadAttention(self.d_model, self.n_head, dtype=dt,
                                name="self_attn")(q, k, target)
@@ -264,7 +266,7 @@ class RTDETRTransformerv2(nn.Module):
 
         out_mem = nn.Dense(d, dtype=dt, param_dtype=jnp.float32,
                            name="enc_output_proj")(memory)
-        out_mem = nn.LayerNorm(dtype=dt, param_dtype=jnp.float32,
+        out_mem = nn.LayerNorm(epsilon=1e-5, dtype=dt, param_dtype=jnp.float32,
                                name="enc_output_norm")(out_mem)
         enc_logits = nn.Dense(self.num_classes, dtype=dt,
                               param_dtype=jnp.float32,

@@ -52,13 +52,17 @@ class AIFILayer(nn.Module):
         h = MultiHeadAttention(self.d_model, self.nhead, dtype=dt, name="self_attn")(
             q, q, src
         )
-        src = nn.LayerNorm(dtype=dt, param_dtype=jnp.float32, name="norm1")(src + h)
+        # epsilon pinned to torch nn.LayerNorm's 1e-5 (flax defaults to
+        # 1e-6); the gap is O(1) when token variance collapses toward eps
+        src = nn.LayerNorm(epsilon=1e-5, dtype=dt, param_dtype=jnp.float32,
+                           name="norm1")(src + h)
         h = nn.Dense(self.dim_feedforward, dtype=dt, param_dtype=jnp.float32,
                      name="linear1")(src)
         h = _ACTS[self.act](h)
         h = nn.Dense(self.d_model, dtype=dt, param_dtype=jnp.float32,
                      name="linear2")(h)
-        return nn.LayerNorm(dtype=dt, param_dtype=jnp.float32, name="norm2")(src + h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=dt, param_dtype=jnp.float32,
+                            name="norm2")(src + h)
 
 
 class RepVggBlock(nn.Module):
