@@ -106,11 +106,16 @@ class MQEncoder:
             self._renorm()
 
     def flush(self):
-        tempc = (self.c + self.a - 1) & 0xFFFF0000
-        if self.c < tempc:
-            self.c = tempc
-        else:
-            self.c = tempc + 0x8000
+        # SETBITS (E.3.8): saturate the low 16 bits of C to ONES, pulling
+        # back 0x8000 if that overshoots C+A.  The ones matter: decoders
+        # pad the stream tail with 1-bits, so a codeword with trailing
+        # zeros can drift UP past the subinterval boundary once padding
+        # kicks in (observed as a wrong final decision on streams whose
+        # last decision ended near the interval top).
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
         self.c = (self.c << self.ct) & 0xFFFFFFFF
         self._byteout()
         self.c = (self.c << self.ct) & 0xFFFFFFFF
@@ -243,8 +248,11 @@ NOMINAL_AT = {
 }
 
 
-def encode_generic_bitmap(mq, bm, tmpl=0, tpgdon=False, at=None, bank="GB"):
-    """Encode bitmap (1=black) pixels into an existing MQ encoder."""
+def encode_generic_bitmap(mq, bm, tmpl=0, tpgdon=False, at=None, bank="GB",
+                          skip=None):
+    """Encode bitmap (1=black) pixels into an existing MQ encoder.  Pixels
+    where ``skip`` is set are not coded (the decoder forces them to 0, so
+    the bitmap must hold 0 there for a faithful round trip)."""
     at = at if at is not None else NOMINAL_AT[tmpl]
     ltp = 0
     for y in range(bm.shape[0]):
@@ -256,6 +264,8 @@ def encode_generic_bitmap(mq, bm, tmpl=0, tpgdon=False, at=None, bank="GB"):
             if ltp:
                 continue
         for x in range(bm.shape[1]):
+            if skip is not None and skip[y, x]:
+                continue
             ctx = _generic_context(bm, x, y, tmpl, at)
             mq.encode((bank, ctx), int(bm[y, x]))
 
@@ -765,3 +775,86 @@ def custom_table_segment(number, lines, low, high, oob=False, htps=8,
     body += int(high).to_bytes(4, "big", signed=True)
     body += bw.flush()
     return segment_header(number, 53, length=len(body)) + bytes(body)
+
+
+# ---------------------------------------------------------------------------
+# Pattern dictionaries + halftone regions (T.88 6.6/6.7 + Annex C).
+
+
+def pattern_dict_segment(number, patterns, tmpl=0, mmr_encode=None):
+    """Type-16 pattern dictionary: ``patterns`` is a list of equally sized
+    (HDPH, HDPW) bitmaps for gray values 0..GRAYMAX; coded as one
+    collective generic region with A1 = (-HDPW, 0)."""
+    hdph, hdpw = patterns[0].shape
+    graymax = len(patterns) - 1
+    coll = np.concatenate(patterns, axis=1)
+    body = bytearray()
+    body.append((1 if mmr_encode else 0) | (tmpl << 1))
+    body.append(hdpw)
+    body.append(hdph)
+    body += graymax.to_bytes(4, "big")
+    if mmr_encode is not None:
+        body += mmr_encode(coll)
+    else:
+        at = (-hdpw, 0, -3, -1, 2, -2, -2, -2)
+        mq = MQEncoder()
+        encode_generic_bitmap(mq, coll, tmpl, False, at)
+        body += mq.flush()
+    return segment_header(number, 16, length=len(body)) + bytes(body)
+
+
+def halftone_skip(hgw, hgh, w, h, hpw, hph, hgx, hgy, hrx, hry):
+    """Skip bitmap (6.6.5.1): grid cells whose pattern lies fully outside
+    the region are not coded."""
+    skip = np.zeros((hgh, hgw), np.uint8)
+    for m in range(hgh):
+        for n in range(hgw):
+            x = (hgx + m * hry + n * hrx) >> 8
+            y = (hgy + m * hrx - n * hry) >> 8
+            if x + hpw <= 0 or x >= w or y + hph <= 0 or y >= h:
+                skip[m, n] = 1
+    return skip
+
+
+def halftone_region_segment(number, patdict_number, w, h, gray, patterns,
+                            x=0, y=0, combop=0, tmpl=0, enableskip=False,
+                            hcombop=0, defpixel=0, hgx=0, hgy=0, hrx=None,
+                            hry=0, mmr_encode=None):
+    """Type-22 halftone region: ``gray`` is an (HGH, HGW) array of pattern
+    indices; planes are gray-coded (g = v ^ (v >> 1)) MSB first through one
+    shared arithmetic context, or one continuous MMR stream.  hgx/hgy/hrx/
+    hry are 8.8 fixed-point; hrx defaults to pattern_width << 8 (an
+    axis-aligned grid)."""
+    hdph, hdpw = patterns[0].shape
+    if hrx is None:
+        hrx = hdpw << 8
+    hgh, hgw = gray.shape
+    body = bytearray(region_info(w, h, x, y, combop))
+    body.append((1 if mmr_encode else 0) | (tmpl << 1)
+                | ((1 if enableskip else 0) << 3) | (hcombop << 4)
+                | (defpixel << 7))
+    body += hgw.to_bytes(4, "big")
+    body += hgh.to_bytes(4, "big")
+    body += int(hgx).to_bytes(4, "big", signed=True)
+    body += int(hgy).to_bytes(4, "big", signed=True)
+    body += int(hrx).to_bytes(2, "big")
+    body += int(hry).to_bytes(2, "big")
+
+    bits = max(1, (len(patterns) - 1).bit_length())
+    g = (np.asarray(gray, np.int64) ^ (np.asarray(gray, np.int64) >> 1))
+    skip = None
+    if enableskip and mmr_encode is None:
+        skip = halftone_skip(hgw, hgh, w, h, hdpw, hdph, hgx, hgy, hrx, hry)
+    planes = [((g >> j) & 1).astype(np.uint8) for j in range(bits - 1, -1, -1)]
+    if skip is not None:
+        planes = [p & (1 - skip) for p in planes]
+    if mmr_encode is not None:
+        body += mmr_encode(np.concatenate(planes, axis=0))
+    else:
+        at = ((3 if tmpl <= 1 else 2), -1, -3, -1, 2, -2, -2, -2)
+        mq = MQEncoder()
+        for p in planes:
+            encode_generic_bitmap(mq, p, tmpl, False, at, skip=skip)
+        body += mq.flush()
+    return segment_header(number, 22, referred=[patdict_number],
+                          length=len(body)) + bytes(body)

@@ -563,3 +563,139 @@ def test_jbig2_huffman_tables_wellformed():
             if uppers:
                 end = normal[-1][0] + (1 << normal[-1][1])
                 assert uppers[0] == end, f"B.{num} upper bound"
+
+
+# ---------------------------------------------------------------------------
+# Pattern dictionaries + halftone regions (T.88 6.6/6.7 + Annex C).
+
+
+def _halftone_patterns(hpw=4, hph=4):
+    """Dither-style patterns with increasing ink coverage (gray 0..5)."""
+    order = [(1, 1), (3, 3), (1, 3), (3, 1), (0, 0), (2, 2), (0, 2),
+             (2, 0), (1, 0), (3, 2), (0, 1), (2, 3), (1, 2), (3, 0),
+             (0, 3), (2, 1)]
+    pats = []
+    for level in range(6):
+        p = np.zeros((hph, hpw), np.uint8)
+        for y, x in order[: level * 3]:
+            p[y % hph, x % hpw] = 1
+        pats.append(p)
+    return pats
+
+
+def _expect_halftone(gray, pats, w, h, hgx=0, hgy=0, hrx=None, hry=0):
+    hph, hpw = pats[0].shape
+    if hrx is None:
+        hrx = hpw << 8
+    want = np.zeros((h, w), np.uint8)
+    for m in range(gray.shape[0]):
+        for n in range(gray.shape[1]):
+            x = (hgx + m * hry + n * hrx) >> 8
+            y = (hgy + m * hrx - n * hry) >> 8
+            p = pats[gray[m, n]]
+            for yy in range(hph):
+                for xx in range(hpw):
+                    if 0 <= y + yy < h and 0 <= x + xx < w:
+                        want[y + yy, x + xx] |= p[yy, xx]
+    return want
+
+
+def test_halftone_region_roundtrip():
+    from jbig2_ref import halftone_region_segment, pattern_dict_segment
+
+    pats = _halftone_patterns()
+    rng = np.random.RandomState(4)
+    gray = rng.randint(0, len(pats), size=(5, 8))
+    w, h = 32, 20
+    stream = (
+        page_info_segment(1, w, h)
+        + pattern_dict_segment(2, pats)
+        + halftone_region_segment(3, 2, w, h, gray, pats)
+    )
+    out = _decode(stream, w, h)
+    np.testing.assert_array_equal(out, _expect_halftone(gray, pats, w, h))
+
+
+@pytest.mark.parametrize("tmpl", [1, 2])
+def test_halftone_region_templates(tmpl):
+    from jbig2_ref import halftone_region_segment, pattern_dict_segment
+
+    pats = _halftone_patterns()
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, len(pats), size=(4, 6))
+    w, h = 24, 16
+    stream = (
+        page_info_segment(1, w, h)
+        + pattern_dict_segment(2, pats, tmpl=tmpl)
+        + halftone_region_segment(3, 2, w, h, gray, pats, tmpl=tmpl)
+    )
+    out = _decode(stream, w, h)
+    np.testing.assert_array_equal(out, _expect_halftone(gray, pats, w, h))
+
+
+def test_halftone_region_skewed_grid_and_skip():
+    """A rotated grid (hry != 0) pushes some cells off the region; with
+    HENABLESKIP those cells are never coded."""
+    from jbig2_ref import halftone_region_segment, pattern_dict_segment
+
+    pats = _halftone_patterns()
+    rng = np.random.RandomState(9)
+    gray = rng.randint(0, len(pats), size=(5, 6))
+    w, h = 28, 24
+    kw = dict(hgx=2 << 8, hgy=1 << 8, hrx=(4 << 8) + 64, hry=96)
+    stream = (
+        page_info_segment(1, w, h)
+        + pattern_dict_segment(2, pats)
+        + halftone_region_segment(3, 2, w, h, gray, pats, enableskip=True,
+                                  **kw)
+    )
+    out = _decode(stream, w, h)
+    # skipped cells decode as gray 0; the expectation must match that
+    from jbig2_ref import halftone_skip
+
+    skip = halftone_skip(6, 5, w, h, 4, 4, **{k: kw[k] for k in
+                                              ("hgx", "hgy", "hrx", "hry")})
+    g2 = gray.copy()
+    g2[skip.astype(bool)] = 0
+    np.testing.assert_array_equal(out, _expect_halftone(g2, pats, w, h, **kw))
+
+
+def test_halftone_region_mmr():
+    from jbig2_ref import halftone_region_segment, pattern_dict_segment
+    from test_pdf_render import _tiff_ccitt_strips
+
+    def mmr(bm):
+        return _tiff_ccitt_strips(bm, "group4")
+
+    pats = _halftone_patterns()
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, len(pats), size=(4, 7))
+    w, h = 28, 16
+    stream = (
+        page_info_segment(1, w, h)
+        + pattern_dict_segment(2, pats, mmr_encode=mmr)
+        + halftone_region_segment(3, 2, w, h, gray, pats, mmr_encode=mmr)
+    )
+    out = _decode(stream, w, h)
+    np.testing.assert_array_equal(out, _expect_halftone(gray, pats, w, h))
+
+
+def test_halftone_region_xnor_compose():
+    from jbig2_ref import halftone_region_segment, pattern_dict_segment
+
+    pats = _halftone_patterns()
+    gray = np.array([[1, 4], [5, 2]])
+    w, h = 8, 8
+    stream = (
+        page_info_segment(1, w, h)
+        + pattern_dict_segment(2, pats)
+        + halftone_region_segment(3, 2, w, h, gray, pats, defpixel=1,
+                                  hcombop=1)  # AND onto all-ink region
+    )
+    out = _decode(stream, w, h)
+    want = np.ones((h, w), np.uint8)
+    for m in range(2):
+        for n in range(2):
+            p = pats[gray[m, n]]
+            want[m * 4 : m * 4 + 4, n * 4 : n * 4 + 4] &= p
+    np.testing.assert_array_equal(out, want)

@@ -16,12 +16,14 @@
 //     standard tables B.1-B.15, type-53 custom tables, runcode symbol-ID
 //     codes, uncompressed and MMR collective bitmaps) — the old
 //     hardware-scanner output class
+//   * pattern dictionaries + halftone regions (gray-coded bitplanes with
+//     optional skip, arithmetic or MMR, skewed grid placement)
 //   * page info / end-of-stripe assembly with all composition operators
 //   * PDF /JBIG2Globals streams (shared symbol dictionaries)
 //
 // Fails loudly (negative return + jbig2_last_error) rather than guessing on
-// the rare paths: halftone regions, Huffman-mode refinement/aggregation
-// (no known encoder emits these), and unknown-length segments.  The Python
+// the rare paths: Huffman-mode refinement/aggregation (no known encoder
+// emits it), intermediate regions, and unknown-length segments.  The Python
 // caller leaves the region blank and warns, matching the pre-existing
 // behavior for undecodable streams.
 //
@@ -447,7 +449,7 @@ struct GenericCtx {
 static const uint16_t TPGDON_CTX[4] = {0x9B25, 0x0795, 0x00E5, 0x0195};
 
 static void decode_generic(MQDecoder &mq, GenericCtx &gb, J2Bitmap &bm,
-                           int tmpl, bool tpgdon, const int8_t at[8],
+                           int tmpl, bool tpgdon, const int at[8],
                            const uint8_t *skip = nullptr) {
   int ltp = 0;
   for (int y = 0; y < bm.h; y++) {
@@ -674,11 +676,172 @@ struct Decoder {
   std::vector<std::pair<uint32_t, std::vector<J2Bitmap>>> sym_dicts;
   // custom Huffman tables (type-53 segments) by segment number
   std::vector<std::pair<uint32_t, HuffTable>> huff_tables;
+  // pattern dictionaries (type-16 segments) by segment number
+  std::vector<std::pair<uint32_t, std::vector<J2Bitmap>>> pattern_dicts;
 
   std::vector<J2Bitmap> *find_dict(uint32_t seg) {
     for (auto &kv : sym_dicts)
       if (kv.first == seg) return &kv.second;
     return nullptr;
+  }
+
+  std::vector<const J2Bitmap *> gather_patterns(const SegmentHeader &h) {
+    std::vector<const J2Bitmap *> out;
+    for (uint32_t ref : h.referred)
+      for (auto &kv : pattern_dicts)
+        if (kv.first == ref)
+          for (auto &b : kv.second) out.push_back(&b);
+    return out;
+  }
+
+  // ---- pattern dictionary segment (type 16, T.88 6.7 / 7.4.4) ----
+  void handle_pattern_dict(Reader &r, const SegmentHeader &h, long seg_end) {
+    uint8_t flags = r.u8();
+    bool mmr = flags & 1;
+    int tmpl = (flags >> 1) & 3;
+    int hdpw = r.u8();
+    int hdph = r.u8();
+    uint32_t graymax = r.u32();
+    if (hdpw == 0 || hdph == 0) fail("empty halftone pattern");
+    if (graymax > 0xFFFF) fail("implausible GRAYMAX %u", graymax);
+    // one collective bitmap holding patterns 0..GRAYMAX side by side
+    int collw = (int)(graymax + 1) * hdpw;
+    J2Bitmap coll(collw, hdph);
+    long payload = seg_end - r.p;
+    if (payload < 0) fail("pattern dictionary payload underflow");
+    if (mmr) {
+      std::vector<uint8_t> out((size_t)collw * hdph, 0);
+      int rows = ccitt_decode(r.d + r.p, payload, collw, /*k=*/-1,
+                              /*byte_align=*/0, out.data(), hdph);
+      if (rows < hdph)
+        fail("MMR pattern dictionary decoded %d of %d rows", rows, hdph);
+      memcpy(coll.px.data(), out.data(), out.size());
+    } else {
+      // fixed AT pixels (6.7.5): A1 = (-HDPW, 0) — the previous pattern's
+      // corresponding pixel — A2..A4 nominal
+      int at[8] = {-hdpw, 0, -3, -1, 2, -2, -2, -2};
+      MQDecoder mq;
+      mq.init(r.d + r.p, payload);
+      GenericCtx gb;
+      decode_generic(mq, gb, coll, tmpl, false, at);
+    }
+    std::vector<J2Bitmap> pats;
+    pats.reserve(graymax + 1);
+    for (uint32_t i = 0; i <= graymax; i++) {
+      J2Bitmap bm(hdpw, hdph);
+      for (int y = 0; y < hdph; y++)
+        memcpy(&bm.px[(size_t)y * hdpw],
+               &coll.px[(size_t)y * collw + (size_t)i * hdpw], hdpw);
+      pats.push_back(std::move(bm));
+    }
+    r.p = seg_end;
+    pattern_dicts.emplace_back(h.number, std::move(pats));
+  }
+
+  // ---- halftone region segment (types 20/22/23, T.88 6.6 + Annex C) ----
+  void handle_halftone_region(Reader &r, const SegmentHeader &h, long seg_end,
+                              bool immediate) {
+    RegionInfo ri = parse_region_info(r);
+    uint8_t flags = r.u8();
+    bool mmr = flags & 1;
+    int tmpl = (flags >> 1) & 3;
+    bool enableskip = (flags >> 3) & 1;
+    int hcombop = (flags >> 4) & 7;
+    uint8_t defpixel = (flags >> 7) & 1;
+    uint32_t hgw = r.u32();
+    uint32_t hgh = r.u32();
+    int32_t hgx = (int32_t)r.u32();
+    int32_t hgy = (int32_t)r.u32();
+    uint32_t hrx = r.u16();
+    uint32_t hry = r.u16();
+    if (hgw == 0 || hgh == 0 || (uint64_t)hgw * hgh > (uint64_t)1 << 26)
+      fail("halftone grid %ux%u out of range", hgw, hgh);
+    // grid coordinates are 8.8 fixed point; bound them so the int math in
+    // cell placement cannot overflow
+    if (hgx < -(1 << 28) || hgx > (1 << 28) || hgy < -(1 << 28) ||
+        hgy > (1 << 28))
+      fail("halftone grid origin out of range");
+
+    std::vector<const J2Bitmap *> pats = gather_patterns(h);
+    if (pats.empty()) fail("halftone region refers to no patterns");
+    int hpw = pats[0]->w, hph = pats[0]->h;
+    int bits = 1;
+    while ((1u << bits) < pats.size()) bits++;  // GSBPP = ceil(log2(HNUMPATS))
+
+    // cell top-left for grid position (m, n) — T.88 6.6.5.1
+    auto cell_x = [&](int m, int n) {
+      return (int)(((int64_t)hgx + (int64_t)m * (int32_t)hry +
+                    (int64_t)n * (int32_t)hrx) >> 8);
+    };
+    auto cell_y = [&](int m, int n) {
+      return (int)(((int64_t)hgy + (int64_t)m * (int32_t)hrx -
+                    (int64_t)n * (int32_t)hry) >> 8);
+    };
+
+    std::vector<uint8_t> skip;
+    if (enableskip && !mmr) {
+      skip.assign((size_t)hgw * hgh, 0);
+      for (uint32_t m = 0; m < hgh; m++)
+        for (uint32_t n = 0; n < hgw; n++) {
+          int x = cell_x(m, n), y = cell_y(m, n);
+          if (x + hpw <= 0 || x >= (int)ri.w || y + hph <= 0 ||
+              y >= (int)ri.h)
+            skip[(size_t)m * hgw + n] = 1;
+        }
+    }
+
+    // grayscale image (Annex C): gray-coded bitplanes MSB->LSB, one shared
+    // generic-region context (arithmetic) or one continuous MMR stream
+    long payload = seg_end - r.p;
+    if (payload < 0) fail("halftone region payload underflow");
+    std::vector<J2Bitmap> planes;
+    planes.reserve(bits);
+    if (mmr) {
+      std::vector<uint8_t> out((size_t)hgw * hgh * bits, 0);
+      int rows = ccitt_decode(r.d + r.p, payload, (int)hgw, /*k=*/-1,
+                              /*byte_align=*/0, out.data(), (int)hgh * bits);
+      if (rows < (int)hgh * bits)
+        fail("MMR halftone planes decoded %d of %u rows", rows, hgh * bits);
+      for (int j = 0; j < bits; j++) {
+        J2Bitmap p((int)hgw, (int)hgh);
+        memcpy(p.px.data(), out.data() + (size_t)j * hgw * hgh,
+               (size_t)hgw * hgh);
+        planes.push_back(std::move(p));
+      }
+    } else {
+      // fixed AT pixels (C.5): A1 = (template <= 1 ? 3 : 2, -1)
+      int at[8] = {tmpl <= 1 ? 3 : 2, -1, -3, -1, 2, -2, -2, -2};
+      MQDecoder mq;
+      mq.init(r.d + r.p, payload);
+      GenericCtx gb;
+      for (int j = 0; j < bits; j++) {
+        J2Bitmap p((int)hgw, (int)hgh);
+        decode_generic(mq, gb, p, tmpl, false, at,
+                       skip.empty() ? nullptr : skip.data());
+        planes.push_back(std::move(p));
+      }
+    }
+
+    J2Bitmap region((int)ri.w, (int)ri.h, defpixel);
+    for (uint32_t m = 0; m < hgh; m++) {
+      for (uint32_t n = 0; n < hgw; n++) {
+        // gray decode: b_J = plane_J (MSB); b_j = plane_j ^ b_{j+1}
+        int b = 0, v = 0;
+        for (int j = 0; j < bits; j++) {
+          b ^= planes[j].px[(size_t)m * hgw + n];
+          v = (v << 1) | b;
+        }
+        if ((size_t)v >= pats.size()) v = (int)pats.size() - 1;
+        compose(region, *pats[v], cell_x(m, n), cell_y(m, n), hcombop);
+      }
+    }
+    r.p = seg_end;
+    if (immediate) {
+      ensure_page(ri.x + ri.w, ri.y + ri.h);
+      compose(page, region, (int)ri.x, (int)ri.y, ri.combop);
+    } else {
+      fail("intermediate halftone regions not supported");
+    }
   }
 
   // Custom tables referred to by a region/dict segment, in referral order —
@@ -768,7 +931,7 @@ struct Decoder {
     bool mmr = flags & 1;
     int tmpl = (flags >> 1) & 3;
     bool tpgdon = (flags >> 3) & 1;
-    int8_t at[8] = {0};
+    int at[8] = {0};
     if (!mmr) {
       int nat = tmpl == 0 ? 4 : 1;
       for (int i = 0; i < nat; i++) {
@@ -944,7 +1107,7 @@ struct Decoder {
       handle_symbol_dict_huffman(r, h, seg_end, flags);
       return;
     }
-    int8_t at[8] = {0};
+    int at[8] = {0};
     int nat = sdtemplate == 0 ? 4 : 1;
     for (int i = 0; i < nat; i++) {
       at[2 * i] = r.s8();
@@ -1291,10 +1454,14 @@ struct Decoder {
           handle_page_info(r);
           break;
         case 16:
+          handle_pattern_dict(r, h, seg_end);
+          break;
         case 20:
+          handle_halftone_region(r, h, seg_end, /*immediate=*/false);
+          break;
         case 22:
         case 23:
-          fail("halftone/pattern segments (type %d) not supported", h.type);
+          handle_halftone_region(r, h, seg_end, /*immediate=*/true);
           break;
         case 40:
         case 42:
