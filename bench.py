@@ -418,11 +418,16 @@ def _pin_semantic_parser(parser, img, quads, paragraphs, tables, figure_box,
                         )
             else:
                 # 4 stacked (header | value) pairs with clear vertical
-                # gaps: one hard-adjacency column per role -> not a grid
+                # gaps: one hard-adjacency column per role -> not a grid.
+                # Margins scale with the crop (real random-weight table
+                # detections can be <100 px tall; fixed 8 px margins left
+                # ~5 px rows that postprocess collapsed to <2 cells,
+                # silently dropping the table and the kv branch with it)
                 cw, ch = w / 2.0, h / 4.0
+                gap = max(2.0, 0.15 * ch)
                 for r in range(4):
-                    y0 = r * ch + 8.0
-                    y1 = (r + 1) * ch - 8.0
+                    y0 = r * ch + gap
+                    y1 = (r + 1) * ch - gap
                     boxes.append([2.0, y0, cw - 4.0, y1])
                     labels.append(cat["header"])
                     boxes.append([cw + 2.0, y0, w - 4.0, y1])
