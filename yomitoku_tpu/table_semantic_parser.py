@@ -573,82 +573,90 @@ class TableSemanticParser:
             )
 
     def __call__(self, img, template=None, id=None, grid_only=False, kv_only=False):
+        from .utils.stagetrace import segment
+
         results_ocr, results_table, paragraphs = asyncio.run(self.run_models(img))
 
-        for table in results_table:
-            self.aggregate(results_ocr, table.cells)
-        self.aggregate(results_ocr, paragraphs)
+        with segment("aggregate", "host"):
+            for table in results_table:
+                self.aggregate(results_ocr, table.cells)
+            self.aggregate(results_ocr, paragraphs)
 
-        vis_layout = img.copy()
-        vis_ocr = img.copy()
+        # page-sized copies (3.7 MB each) and the DAG overlay only exist
+        # when visualization is requested — the CLI already handles None
+        vis_layout = img.copy() if self.visualize else None
+        vis_ocr = img.copy() if self.visualize else None
 
-        semantic_info = []
-        cell_offset = 0
-        for i, table in enumerate(results_table):
-            cells = {}
-            for cell in table.cells:
-                if isinstance(cell, TableCellSchema):
-                    cell = CellSchema(
-                        meta={}, id=cell.id, box=cell.box, role=cell.role,
-                        row=cell.row, col=cell.col, row_span=cell.row_span,
-                        col_span=cell.col_span, contents=cell.contents,
-                    )
-                cells[cell.id] = cell
-
-            table_information = {
-                "id": f"t{i}",
-                "box": table.box,
-                "cells": {},
-                "style": "border",
-                "kv_items": [],
-                "grids": [],
-            }
-            if template is None:
-                nodes = _split_nodes_with_role(table.cells)
-                if not grid_only:
-                    clusters, dag = _weakly_cluster_nodes_with_graph(nodes)
-                    cluster_nodes_list = _get_cluster_nodes(clusters, nodes)
-                else:
-                    clusters = [[cell.id for cell in table.cells]]
-                    cluster_nodes_list = [nodes]
-
-                for clustered_nodes in cluster_nodes_list:
-                    if not kv_only and is_grid_cluster(clustered_nodes):
-                        parsed = parse_grid_from_bottom_up(
-                            cells, clustered_nodes, self.merge_same_column_values
+        with segment("semantic", "parse"):
+            semantic_info = []
+            cell_offset = 0
+            for i, table in enumerate(results_table):
+                cells = {}
+                for cell in table.cells:
+                    if isinstance(cell, TableCellSchema):
+                        cell = CellSchema(
+                            meta={}, id=cell.id, box=cell.box, role=cell.role,
+                            row=cell.row, col=cell.col, row_span=cell.row_span,
+                            col_span=cell.col_span, contents=cell.contents,
                         )
-                        if parsed is None:
-                            continue
-                        grid, grid_cells, dag = parsed
-                        table_information["grids"].append(grid)
-                        table_information["cells"].update(grid_cells)
-                        vis_layout = dag_visualizer(dag, vis_layout)
+                    cells[cell.id] = cell
+
+                table_information = {
+                    "id": f"t{i}",
+                    "box": table.box,
+                    "cells": {},
+                    "style": "border",
+                    "kv_items": [],
+                    "grids": [],
+                }
+                if template is None:
+                    nodes = _split_nodes_with_role(table.cells)
+                    if not grid_only:
+                        clusters, dag = _weakly_cluster_nodes_with_graph(nodes)
+                        cluster_nodes_list = _get_cluster_nodes(clusters, nodes)
                     else:
-                        kv_items, dag, kv_cells = parse_kv_items(
-                            clustered_nodes, nodes, cells
-                        )
-                        table_information["kv_items"].extend(kv_items)
-                        table_information["cells"].update(kv_cells)
-                        vis_layout = dag_visualizer(dag, vis_layout)
+                        clusters = [[cell.id for cell in table.cells]]
+                        cluster_nodes_list = [nodes]
 
-            for cell in cells.values():
-                if cell.id not in table_information["cells"]:
-                    table_information["cells"][cell.id] = cell
+                    for clustered_nodes in cluster_nodes_list:
+                        if not kv_only and is_grid_cluster(clustered_nodes):
+                            parsed = parse_grid_from_bottom_up(
+                                cells, clustered_nodes, self.merge_same_column_values
+                            )
+                            if parsed is None:
+                                continue
+                            grid, grid_cells, dag = parsed
+                            table_information["grids"].append(grid)
+                            table_information["cells"].update(grid_cells)
+                            if self.visualize:
+                                vis_layout = dag_visualizer(dag, vis_layout)
+                        else:
+                            kv_items, dag, kv_cells = parse_kv_items(
+                                clustered_nodes, nodes, cells
+                            )
+                            table_information["kv_items"].extend(kv_items)
+                            table_information["cells"].update(kv_cells)
+                            if self.visualize:
+                                vis_layout = dag_visualizer(dag, vis_layout)
 
-            table_information["kv_items"] = sorted(
-                table_information["kv_items"],
-                key=lambda kv: table_information["cells"][kv.value].box[1],
-            )
-            table_information["grids"] = sorted(
-                table_information["grids"], key=lambda g: g.box[1]
-            )
-            for gi, grid in enumerate(table_information["grids"]):
-                grid.id = f"g{gi}"
-            for ki, kv in enumerate(table_information["kv_items"]):
-                kv.id = f"kv{ki}"
+                for cell in cells.values():
+                    if cell.id not in table_information["cells"]:
+                        table_information["cells"][cell.id] = cell
 
-            cell_offset = _assign_ids(table_information, cell_offset)
-            semantic_info.append(TableSemanticContentsSchema(**table_information))
+                table_information["kv_items"] = sorted(
+                    table_information["kv_items"],
+                    key=lambda kv: table_information["cells"][kv.value].box[1],
+                )
+                table_information["grids"] = sorted(
+                    table_information["grids"], key=lambda g: g.box[1]
+                )
+                for gi, grid in enumerate(table_information["grids"]):
+                    grid.id = f"g{gi}"
+                for ki, kv in enumerate(table_information["kv_items"]):
+                    kv.id = f"kv{ki}"
+
+                cell_offset = _assign_ids(table_information, cell_offset)
+                semantic_info.append(TableSemanticContentsSchema(**table_information))
 
         semantic_info = _sort_elements(semantic_info, prefix="t")
         paragraphs = _sort_elements(paragraphs, prefix="p")
