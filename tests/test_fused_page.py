@@ -390,8 +390,10 @@ def test_batch_dp_fused_matches_solo(monkeypatch):
 
 
 def test_batch_dp_single_chip_uses_page_batching(monkeypatch):
-    """Without a mesh, _batch_dp_fused still batches pages (up to 4) into
-    one fused dispatch — the single-chip A/B of the DP path."""
+    """Without a mesh, _batch_dp_fused defaults to 1-page fused dispatches
+    (chunk>=2 legs serialize their upload+sync on the transfer-bound
+    tunnel — see the paired sweep note in document_analyzer.py), and the
+    YOMITOKU_TPU_DP_CHUNK knob restores page batching."""
     import yomitoku_tpu.ops.device_crop as dc
     from yomitoku_tpu.ops.fused_page import FusedPageAnalysis
 
@@ -408,6 +410,13 @@ def test_batch_dp_single_chip_uses_page_batching(monkeypatch):
         return orig(self, pages_dev, hws, *a, **k)
 
     monkeypatch.setattr(FusedPageAnalysis, "batch_call", spy)
+    results = analyzer._batch_dp_fused(imgs)
+    assert batch_calls == [1, 1], batch_calls  # default: per-page legs
+    for want, (res, _, _) in zip(solo_dumps, results):
+        _assert_close_dump(want, res.model_dump())
+
+    batch_calls.clear()
+    monkeypatch.setenv("YOMITOKU_TPU_DP_CHUNK", "2")
     results = analyzer._batch_dp_fused(imgs)
     assert batch_calls == [2], batch_calls  # one 2-page dispatch
     for want, (res, _, _) in zip(solo_dumps, results):

@@ -786,10 +786,15 @@ class DocumentAnalyzer:
         if mesh is not None:
             chunk_pages = mesh.shape["dp"]
         else:
-            # single chip: batch depth trades dispatch count against
-            # per-sync payload; 2 measured best on the transfer-bound
-            # tunnel (see bench.py dp_batch_pages_per_sec)
-            chunk_pages = int(os.environ.get("YOMITOKU_TPU_DP_CHUNK", "2"))
+            # single chip: chunk depth trades dispatch count against
+            # per-leg latency; a paired sweep (chunk x depth x tails,
+            # interleaved with batch() for shared link weather) measured
+            # chunk=1 with 4-deep device legs at parity with the threaded
+            # batch() schedule, while chunk>=2 paid 20-100% — the bigger
+            # leg's upload+sync serializes behind the previous leg's on
+            # the transfer-bound tunnel.  A real dp mesh keeps chunk =
+            # mesh dp size (the legs shard, they don't serialize).
+            chunk_pages = int(os.environ.get("YOMITOKU_TPU_DP_CHUNK", "1"))
             chunk_pages = max(1, min(len(imgs), chunk_pages))
         lay_hw = tuple(lp._cfg.data.img_size)
         tsr_hw = tuple(tsr._cfg.data.img_size)
@@ -828,12 +833,16 @@ class DocumentAnalyzer:
             # lanes' outputs are dropped)
             pad_ids = ids + [ids[0]] * (chunk_pages - len(ids))
             stack = np.stack([padded[i] for i in pad_ids])
-            if mesh is not None:
-                pages_dev = jax.device_put(
-                    stack, batch_sharding(mesh, stack.ndim)
-                )
-            else:
-                pages_dev = jnp.asarray(stack)
+            from .utils.stagetrace import segment
+
+            with segment("page", "upload", nbytes=stack.nbytes):
+                if mesh is not None:
+                    pages_dev = jax.device_put(
+                        stack, batch_sharding(mesh, stack.ndim)
+                    )
+                else:
+                    pages_dev = jnp.asarray(stack)
+                jax.block_until_ready(pages_dev)
             hws = [imgs[i].shape[:2] for i in pad_ids]
             per_page = prog.batch_call(
                 pages_dev, hws, det_hw, lay_hw, tsr_hw
@@ -861,11 +870,14 @@ class DocumentAnalyzer:
         from collections import deque
 
         dev_depth = max(
-            1, int(os.environ.get("YOMITOKU_TPU_DP_DEVICE_DEPTH", "2"))
+            1, int(os.environ.get("YOMITOKU_TPU_DP_DEVICE_DEPTH", "4"))
         )
         tail_window = 2 * chunk_pages
+        tail_workers = int(
+            os.environ.get("YOMITOKU_TPU_DP_TAIL_WORKERS", "0")
+        ) or max(4, chunk_pages)
         with ThreadPoolExecutor(max_workers=dev_depth) as dev_ex, \
-                ThreadPoolExecutor(max_workers=max(2, chunk_pages)) as tail_ex:
+                ThreadPoolExecutor(max_workers=tail_workers) as tail_ex:
             leg_futs = deque(
                 (ids, dev_ex.submit(_device_leg, ids, det_hw))
                 for ids, det_hw in chunks[:dev_depth]
