@@ -306,23 +306,37 @@ def run_e2e(device="tpu", warmup=2, iters=8, pairs=4):
         # warm (compiles the page-batched fused program)
         analyzer._batch_dp_fused([img] * 4)
 
-    # Interleaved paired windows: batch() then the page-DP path
-    # back-to-back, `pairs` times.  The dev tunnel's bandwidth swings
-    # minute-to-minute by 2-4x; adjacent windows share the same weather.
+    # Interleaved paired windows: batch() and the page-DP path
+    # back-to-back, `pairs` times, ALTERNATING which runs first so a
+    # within-pair bandwidth trend can't systematically tax one path.
+    # The dev tunnel's bandwidth swings minute-to-minute by 2-4x;
+    # adjacent windows share the same weather.
     rounds, stage_tables = [], []
     dp_rounds, dp_stage_tables = [], []
-    for _ in range(pairs):
+
+    def _run_batch():
         with collect() as stats:
             t0 = time.perf_counter()
             analyzer.batch([img] * iters)
             rounds.append((time.perf_counter() - t0) / iters)
         stage_tables.append(stats.table(pages=iters))
-        if dp_enabled:
-            with collect() as stats:
-                t0 = time.perf_counter()
-                analyzer._batch_dp_fused([img] * dp_iters)
-                dp_rounds.append((time.perf_counter() - t0) / dp_iters)
-            dp_stage_tables.append(stats.table(pages=dp_iters))
+
+    def _run_dp():
+        with collect() as stats:
+            t0 = time.perf_counter()
+            analyzer._batch_dp_fused([img] * dp_iters)
+            dp_rounds.append((time.perf_counter() - t0) / dp_iters)
+        dp_stage_tables.append(stats.table(pages=dp_iters))
+
+    for p in range(pairs):
+        if not dp_enabled:
+            _run_batch()
+        elif p % 2 == 0:
+            _run_batch()
+            _run_dp()
+        else:
+            _run_dp()
+            _run_batch()
 
     # production-realistic recognizer: early-exit weights (EOS at step
     # 25, a typical Japanese line length) through the SAME pipeline
@@ -948,6 +962,7 @@ def main():
                     "dp_floor_ms_per_page": (
                         round(dp_floor_ms, 1) if dp_floor_ms else None
                     ),
+                    "dp_stages_per_page": dp_stages,
                     "table_semantic_over_floor_ratio": _ratio(
                         sem_page_s * 1e3 if sem_page_s else None,
                         sem_floor_ms,
