@@ -59,3 +59,59 @@ def test_rtdetr_conversion_parity():
     )
     np.testing.assert_allclose(j_logits, t_logits, atol=5e-3)
     np.testing.assert_allclose(j_boxes, t_boxes, atol=5e-3)
+
+
+def test_layernorm_eps_matches_torch_at_collapsed_variance():
+    """Deep random-init features collapse per-token variance to ~1e-6,
+    where flax's default LayerNorm eps (1e-6) vs torch's 1e-5 becomes an
+    O(1) output error (measured max|delta|=1.14 on the AIFI norm at
+    640x640, scrambling top-k query selection).  Pin our RT-DETR norms
+    to torch semantics in exactly that regime: with attention and FFN
+    zeroed, norm1(x + 0) must match eps-1e-5 LayerNorm and must NOT
+    match eps-1e-6."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yomitoku_tpu.models.layers.rtdetr_encoder import AIFILayer
+
+    d = 32
+    rng = np.random.RandomState(0)
+    base = rng.rand(1, 8, d).astype(np.float32)
+    # tokens whose across-channel variance is ~1e-6
+    x = base.mean(-1, keepdims=True) + 1e-3 * (
+        base - base.mean(-1, keepdims=True)
+    )
+
+    import flax.linen as nn
+
+    def flax_ln(v, eps):
+        # flax's fast-variance formula — at var ~1e-6 the two-pass numpy
+        # formula differs measurably, and the pin is about EPS, not the
+        # variance estimator
+        mod = nn.LayerNorm(epsilon=eps)
+        p = {"params": {"scale": np.ones(d, np.float32),
+                        "bias": np.zeros(d, np.float32)}}
+        return np.asarray(mod.apply(p, jnp.asarray(v)))
+
+    want5 = flax_ln(x, 1e-5)
+    want6 = flax_ln(x, 1e-6)
+    # the collapsed-variance input separates the two eps choices by O(1)
+    assert np.abs(want5 - want6).max() > 0.3
+
+    layer = AIFILayer(d_model=d, nhead=4, dim_feedforward=64)
+    params = layer.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.zeros((1, 8, d))
+    )
+    zp = jax.tree_util.tree_map(jnp.zeros_like, params)["params"]
+    for name in ("norm1", "norm2"):
+        zp[name]["scale"] = jnp.ones_like(zp[name]["scale"])
+    _, inter = layer.apply(
+        {"params": zp}, jnp.asarray(x), jnp.zeros((1, 8, d)),
+        capture_intermediates=lambda mdl, _: mdl.name == "norm1",
+    )
+    got = np.asarray(
+        list(inter["intermediates"]["norm1"].values())[0][0], np.float32
+    )
+    np.testing.assert_allclose(got, want5, atol=2e-5)
+    assert np.abs(got - want6).max() > 0.3
