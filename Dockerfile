@@ -35,7 +35,8 @@ COPY . /opt/yomitoku_tpu
 RUN pip install /opt/yomitoku_tpu
 
 # pre-build the native components so first-request latency stays flat
-RUN python -c "import yomitoku_tpu.native as n; n.jbig2_decode(b'', 1, 1) if False else None"
+RUN python -c "from yomitoku_tpu.native import _load_lib; \
+    [_load_lib(s) for s in ('rasterizer', 'dbnet_post', 'ccitt', 'jbig2')]"
 
 # weight store: mount or bake converted checkpoints here
 ENV YOMITOKU_TPU_WEIGHTS=/weights
