@@ -699,3 +699,52 @@ def test_halftone_region_xnor_compose():
             p = pats[gray[m, n]]
             want[m * 4 : m * 4 + 4, n * 4 : n * 4 + 4] &= p
     np.testing.assert_array_equal(out, want)
+
+
+def test_jbig2_halftone_and_huffman_mutation_fuzz():
+    """Same crash-safety bar for the round-5 segment types: byte-level
+    mutations of valid halftone and Huffman-mode streams decode or raise
+    ValueError — never crash, hang, or overflow (pattern counts, grid
+    sizes, Huffman table ranges and runcodes are all bounds-checked)."""
+    from jbig2_ref import (
+        halftone_region_segment,
+        huff_symbol_dict_segment,
+        huff_text_region_segment,
+        pattern_dict_segment,
+    )
+
+    pats = _halftone_patterns()
+    gray = np.random.RandomState(3).randint(0, len(pats), size=(4, 6))
+    syms = _huff_glyphs()
+    streams = [
+        bytearray(
+            page_info_segment(1, 24, 16)
+            + pattern_dict_segment(2, pats)
+            + halftone_region_segment(3, 2, 24, 16, gray, pats)
+        ),
+        bytearray(
+            page_info_segment(1, 26, 16)
+            + huff_symbol_dict_segment(2, syms)
+            + huff_text_region_segment(
+                3, 2, 26, 16, [(0, 2, 1), (1, 8, 1), (2, 15, 1)], syms
+            )
+        ),
+    ]
+    rng = np.random.RandomState(1)
+    for stream in streams:
+        for _ in range(200):
+            mutated = bytearray(stream)
+            for _ in range(rng.randint(1, 4)):
+                mutated[rng.randint(len(mutated))] = rng.randint(256)
+            try:
+                out = _decode(bytes(mutated), 26, 16)
+                assert out.shape == (16, 26)
+            except ValueError:
+                pass  # loud failure is fine
+        # truncations too
+        for _ in range(60):
+            cut = rng.randint(1, len(stream))
+            try:
+                _decode(bytes(stream[:cut]), 26, 16)
+            except ValueError:
+                pass
