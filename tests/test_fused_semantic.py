@@ -144,3 +144,38 @@ def test_semantic_fused_fallback_merge(monkeypatch):
     fused, _, _ = parser(img)
     assert calls, "expected the fallback region path for unmatched tables"
     assert fused.model_dump() == threaded.model_dump()
+
+
+def test_semantic_batch_dp_fused_matches_solo(monkeypatch):
+    """The page-DP semantic path (batched fused dispatch + pipelined host
+    tails) must reproduce the per-page fused path exactly, in input
+    order, on DISTINCT pages; batch() routes to it when num_devices > 1
+    and visualization is off."""
+    import yomitoku_tpu.ops.device_crop as dc
+    from yomitoku_tpu.ops.fused_page import FusedPageAnalysis
+
+    monkeypatch.setattr(dc, "device_crops_enabled", lambda: True)
+    parser = _parser()
+    imgs = [_page(160, 240, seed=s) for s in (5, 11)]
+    solo = [parser(img)[0].model_dump() for img in imgs]
+
+    batch_calls = []
+    orig = FusedPageAnalysis.batch_call
+
+    def spy(self, pages_dev, hws, *a, **k):
+        batch_calls.append(pages_dev.shape[0])
+        return orig(self, pages_dev, hws, *a, **k)
+
+    monkeypatch.setattr(FusedPageAnalysis, "batch_call", spy)
+    results = parser._batch_dp_fused(imgs)
+    assert batch_calls == [1, 1], batch_calls  # single-chip: per-page legs
+    for want, (res, _, _) in zip(solo, results):
+        assert res.model_dump() == want
+
+    # batch() routes to the DP path under a multi-device request
+    batch_calls.clear()
+    parser.num_devices = 2
+    results = parser.batch(imgs)
+    assert batch_calls, "batch() did not route to the DP path"
+    for want, (res, _, _) in zip(solo, results):
+        assert res.model_dump() == want

@@ -297,6 +297,7 @@ class TableSemanticParser:
         self.text_detector = TextDetector(**text_detector_kwargs)
         self.text_recognizer = TextRecognizer(**text_recognizer_kwargs)
         self.visualize = visualize
+        self.num_devices = num_devices
         self.merge_same_column_values = False
         self._fused_page_program = None
         self._fused_page_lock = threading.Lock()
@@ -379,27 +380,7 @@ class TableSemanticParser:
 
         return not os.environ.get("YOMITOKU_TPU_NO_FUSED_PAGE")
 
-    def _run_fused_models(self, img, page):
-        """Single-dispatch semantic page path: det, layout, AND the
-        CellDetector's 2500-query table crops run as ONE device program
-        with ONE readback (ops.fused_page.FusedPageAnalysis with the
-        cell model in the region slot) — the reference chains
-        detector/layout readbacks into a CellDetector dispatch into
-        another readback (yomitoku/table_semantic_parser.py:542-563);
-        here the program itself selects the table-classified layout
-        detections and crops them on device, so the page costs one
-        fused sync plus the recognizer's.  Tables the slots missed
-        (more than max_tables, or host-side dedup disagreements) fall
-        back to the chunked region path, overlapped with the contour
-        pass."""
-        from .ops.device_crop import (
-            collect_filtered_regions,
-            dispatch_regions_from_page,
-        )
-        from .schemas import LayoutParserSchema, TextDetectorSchema
-        from .schemas.table_semantic_parser import TableDetectorSchema
-        from .utils.stagetrace import segment
-
+    def _ensure_fused_program(self):
         det = self.text_detector
         lp = self.layout_parser
         cell = self.cell_detector
@@ -419,18 +400,60 @@ class TableSemanticParser:
                         lay_thresh=lp.thresh_score,
                         trace_label="det+layout+cell",
                     )
+        return self._fused_page_program
 
-        ori_h, ori_w = img.shape[:2]
+    def _fused_sizes(self, img):
+        """(det /32 size, layout size, cell-crop size) for one page."""
         from .data.functions import shortest_edge_size
 
+        det = self.text_detector
+        ori_h, ori_w = img.shape[:2]
         det_hw = shortest_edge_size(
             ori_h, ori_w,
             det._cfg.data.shortest_size, det._cfg.data.limit_size,
         )
-        cell_hw = tuple(cell._cfg.data.img_size)
-        prob, packed, packed_c, sel, sel_valid = self._fused_page_program(
-            page, page.hw, det_hw, tuple(lp._cfg.data.img_size), cell_hw
+        return (
+            det_hw,
+            tuple(self.layout_parser._cfg.data.img_size),
+            tuple(self.cell_detector._cfg.data.img_size),
         )
+
+    def _run_fused_models(self, img, page):
+        """Single-dispatch semantic page path: det, layout, AND the
+        CellDetector's 2500-query table crops run as ONE device program
+        with ONE readback (ops.fused_page.FusedPageAnalysis with the
+        cell model in the region slot) — the reference chains
+        detector/layout readbacks into a CellDetector dispatch into
+        another readback (yomitoku/table_semantic_parser.py:542-563);
+        here the program itself selects the table-classified layout
+        detections and crops them on device, so the page costs one
+        fused sync plus the recognizer's."""
+        prog = self._ensure_fused_program()
+        det_hw, lay_hw, cell_hw = self._fused_sizes(img)
+        wire = prog(page, page.hw, det_hw, lay_hw, cell_hw)
+        return self._fused_host_postwire(img, page, *wire)
+
+    def _fused_host_postwire(self, img, page, prob, packed, packed_c, sel,
+                             sel_valid):
+        """Host tail of the fused page program: layout filter, slot
+        consume (tables the device slots missed — more than max_tables,
+        or host-side dedup disagreements — fall back to the chunked
+        region path, overlapped with the contour pass), contours, the
+        recognizer's device leg in a side thread, cell postprocess."""
+        from .ops.device_crop import (
+            collect_filtered_regions,
+            dispatch_regions_from_page,
+        )
+        from .schemas import LayoutParserSchema, TextDetectorSchema
+        from .schemas.table_semantic_parser import TableDetectorSchema
+        from .utils.stagetrace import segment
+
+        det = self.text_detector
+        lp = self.layout_parser
+        cell = self.cell_detector
+        prog = self._fused_page_program
+        ori_h, ori_w = img.shape[:2]
+        cell_hw = tuple(cell._cfg.data.img_size)
         outputs = lp.postprocessor.filter_packed(
             packed, [[ori_w, ori_h]], lp.thresh_score
         )
@@ -441,7 +464,6 @@ class TableSemanticParser:
         # risks) fall back to region dispatch
         tables = list(results_layout.tables)
         cell_data = cell._preprocess_meta(img, tables)
-        prog = self._fused_page_program
         filtered, missing_idx, missing_data = prog.consume_region_slots(
             cell_data, packed_c, sel, sel_valid, cell.postprocessor,
             cell.thresh_score,
@@ -561,6 +583,19 @@ class TableSemanticParser:
         per page in input order."""
         if not imgs:
             return []
+        if (
+            self.num_devices
+            and self.num_devices > 1
+            and len(imgs) > 1
+            and not self.visualize
+        ):
+            from .ops.device_crop import device_crops_enabled
+
+            if device_crops_enabled() and self._fused_page_enabled():
+                return self._batch_dp_fused(
+                    imgs, template=template, grid_only=grid_only,
+                    kv_only=kv_only,
+                )
         with ThreadPoolExecutor(max_workers=max_in_flight) as executor:
             return list(
                 executor.map(
@@ -572,10 +607,129 @@ class TableSemanticParser:
                 )
             )
 
-    def __call__(self, img, template=None, id=None, grid_only=False, kv_only=False):
+    def _batch_dp_fused(self, imgs, template=None, grid_only=False,
+                        kv_only=False):
+        """Page-axis DP over the fused semantic path — the same schedule
+        as DocumentAnalyzer._batch_dp_fused: pages group by (padded page
+        shape, det /32 bucket), each chunk runs ONE batched fused
+        det+layout+cell dispatch (dp-sharded page stack on a mesh,
+        per-page legs on one chip), and the host tails (slot consume,
+        contours, recognizer leg, cell postprocess, clustering, grid/kv
+        parse) pipeline per page behind the legs."""
+        import os
+        from collections import defaultdict, deque
+        from types import SimpleNamespace
+
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.device_crop import pad_page
+        from .parallel import dp_mesh
+        from .parallel.mesh import batch_sharding
         from .utils.stagetrace import segment
 
+        prog = self._ensure_fused_program()
+        lay_hw = tuple(self.layout_parser._cfg.data.img_size)
+        cell_hw = tuple(self.cell_detector._cfg.data.img_size)
+        mesh = dp_mesh(self.num_devices)
+        if mesh is not None:
+            chunk_pages = mesh.shape["dp"]
+        else:
+            chunk_pages = int(os.environ.get("YOMITOKU_TPU_DP_CHUNK", "1"))
+            chunk_pages = max(1, min(len(imgs), chunk_pages))
+
+        groups = defaultdict(list)
+        padded = {}
+        for i, img in enumerate(imgs):
+            det_hw, _, _ = self._fused_sizes(img)
+            padded[i] = pad_page(img)
+            groups[(padded[i].shape, det_hw)].append(i)
+
+        def _device_leg(ids, det_hw):
+            pad_ids = ids + [ids[0]] * (chunk_pages - len(ids))
+            stack = np.stack([padded[i] for i in pad_ids])
+            with segment("page", "upload", nbytes=stack.nbytes):
+                if mesh is not None:
+                    pages_dev = jax.device_put(
+                        stack, batch_sharding(mesh, stack.ndim)
+                    )
+                else:
+                    pages_dev = jnp.asarray(stack)
+                jax.block_until_ready(pages_dev)
+            hws = [imgs[i].shape[:2] for i in pad_ids]
+            per_page = prog.batch_call(
+                pages_dev, hws, det_hw, lay_hw, cell_hw
+            )
+            return pages_dev, per_page
+
+        def _post_one(i, page_view, wire):
+            results_ocr, results_table, paragraphs = (
+                self._fused_host_postwire(imgs[i], page_view, *wire)
+            )
+            return self._finalize(
+                imgs[i], results_ocr, results_table, paragraphs,
+                template=template, grid_only=grid_only, kv_only=kv_only,
+            )
+
+        chunks = [
+            (members[s : s + chunk_pages], det_hw)
+            for (_, det_hw), members in groups.items()
+            for s in range(0, len(members), chunk_pages)
+        ]
+        results = [None] * len(imgs)
+        dev_depth = max(
+            1, int(os.environ.get("YOMITOKU_TPU_DP_DEVICE_DEPTH", "4"))
+        )
+        tail_window = 2 * chunk_pages
+        tail_workers = int(
+            os.environ.get("YOMITOKU_TPU_DP_TAIL_WORKERS", "0")
+        ) or max(4, chunk_pages)
+        with ThreadPoolExecutor(max_workers=dev_depth) as dev_ex, \
+                ThreadPoolExecutor(max_workers=tail_workers) as tail_ex:
+            leg_futs = deque(
+                (ids, dev_ex.submit(_device_leg, ids, det_hw))
+                for ids, det_hw in chunks[:dev_depth]
+            )
+            next_chunk = dev_depth
+            tails = deque()
+            while leg_futs:
+                ids, fut = leg_futs.popleft()
+                pages_dev, per_page = fut.result()
+                if next_chunk < len(chunks):
+                    c_ids, c_hw = chunks[next_chunk]
+                    leg_futs.append(
+                        (c_ids, dev_ex.submit(_device_leg, c_ids, c_hw))
+                    )
+                    next_chunk += 1
+                for j, i in enumerate(ids):
+                    page_view = SimpleNamespace(
+                        dev=pages_dev[j], hw=tuple(imgs[i].shape[:2])
+                    )
+                    tails.append(
+                        (i, tail_ex.submit(_post_one, i, page_view,
+                                           per_page[j]))
+                    )
+                while len(tails) > tail_window:
+                    i, tfut = tails.popleft()
+                    results[i] = tfut.result()
+            while tails:
+                i, tfut = tails.popleft()
+                results[i] = tfut.result()
+        return results
+
+    def __call__(self, img, template=None, id=None, grid_only=False, kv_only=False):
         results_ocr, results_table, paragraphs = asyncio.run(self.run_models(img))
+        return self._finalize(
+            img, results_ocr, results_table, paragraphs,
+            template=template, grid_only=grid_only, kv_only=kv_only,
+        )
+
+    def _finalize(self, img, results_ocr, results_table, paragraphs,
+                  template=None, grid_only=False, kv_only=False):
+        """Host-only semantic stage: OCR-word aggregation, clustering,
+        grid/kv parsing, id assignment, schema build — shared by the
+        per-page path and the page-DP tails."""
+        from .utils.stagetrace import segment
 
         with segment("aggregate", "host"):
             for table in results_table:
